@@ -1,0 +1,173 @@
+"""Stable LSD radix sort over columnar buffers — the ParallelSort controller.
+
+Reference equivalent: ``Source/ComputeControllers/ParallelSort.cpp::Sort()``
+(``:168-323``) — 32 passes x 4 dispatches of 1-bit extract / group scan /
+group-sums scan / stable scatter over a ping-pong half-buffer, then a payload
+gather.  TPU redesign: ``key_bits / radix_bits`` passes (8 by default), each
+pass = one histogram kernel + one tiny offsets computation + one destination
+kernel + one permutation application; ping-pong buffering is implicit in
+XLA's functional arrays (the reference needed an explicit half/half SSBO,
+``Include/SSBOs/IntermediateDataSsbo.h:7-10``, because GLSL mutates in
+place).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gpuradixsort_tpu.config import (
+    LANES,
+    PAD_INDEX,
+    PAD_KEY,
+    EngineConfig,
+)
+from gpuradixsort_tpu.core.table import Column, Table, pad_to_tile, round_up
+from gpuradixsort_tpu.kernels import radix as radix_kernels
+from gpuradixsort_tpu.ops import permute
+
+
+def _radix_pass(
+    keys: jax.Array,
+    carried: tuple,
+    shift: int,
+    cfg: EngineConfig,
+    strategy: str | None,
+) -> tuple:
+    """One stable counting-sort pass on digit (keys >> shift) & (radix-1).
+
+    keys: (padded_n,) uint32.  carried: extra arrays permuted alongside.
+    Returns (keys, carried) reordered by the digit, stably.
+    """
+    keys2d = keys.reshape(-1, LANES)
+    hist = radix_kernels.tile_histograms(keys2d, shift, cfg)
+    offsets = radix_kernels.global_offsets(hist)
+    dest = radix_kernels.tile_destinations(keys2d, offsets, shift, cfg)
+    out = permute.scatter_by_destination(
+        dest.reshape(-1), [keys, *carried], strategy
+    )
+    return out[0], tuple(out[1:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "strategy", "num_carried")
+)
+def _sort_padded(keys: jax.Array, carried: tuple, cfg: EngineConfig,
+                 strategy: str | None, num_carried: int):
+    del num_carried  # only used to key the jit cache on the pytree arity
+    for p in range(cfg.num_passes):
+        keys, carried = _radix_pass(
+            keys, carried, p * cfg.radix_bits, cfg, strategy
+        )
+    return keys, carried
+
+
+def _xla_sort_padded(keys: jax.Array, carried: tuple):
+    """Whole-sort fallback via XLA's native TPU sort network.
+
+    Stability: jax.lax.sort is stable with is_stable default True.
+    """
+    out = jax.lax.sort((keys, *carried), num_keys=1, is_stable=True)
+    return out[0], tuple(out[1:])
+
+
+def _resolve_method(method: str) -> str:
+    """Pick the fastest implementation for ``method="auto"``.
+
+    The Pallas radix pipeline is the semantic reference implementation; until
+    its fused scatter kernel beats XLA's native sort network on TPU, "auto"
+    routes to the XLA path there (measured: lax.sort ~2.8 ms/M keys vs the
+    interim sort-applied scatter at ~3.4 ms/M/pass).  Both produce identical
+    stable output (tested).
+    """
+    if method != "auto":
+        return method
+    return "xla" if jax.default_backend() == "tpu" else "radix"
+
+
+def sort_keys(
+    keys: Column | jax.Array,
+    cfg: EngineConfig | None = None,
+    method: str = "auto",
+    strategy: str | None = None,
+) -> Column:
+    """Sort a uint32 key column ascending, stably.  Returns a new Column."""
+    col = _as_key_column(keys, cfg)
+    cfg = cfg or EngineConfig()
+    method = _resolve_method(method)
+    if method == "radix":
+        sorted_keys, _ = _sort_padded(col.data, (), cfg, strategy, 0)
+    elif method == "xla":
+        sorted_keys, _ = _xla_sort_padded(col.data, ())
+    else:
+        raise ValueError(f"unknown sort method: {method}")
+    return Column(sorted_keys, col.length)
+
+
+def sort_pairs(
+    keys: Column | jax.Array,
+    cfg: EngineConfig | None = None,
+    method: str = "auto",
+    strategy: str | None = None,
+) -> tuple[Column, Column]:
+    """Sort (key, original-row-index) pairs — the IntermediateData pipeline.
+
+    The index column is the ``_globalIndexOfOriginalData`` of
+    ``Include/SSBOs/IntermediateData.h:13-28``: it starts as iota and ends as
+    the permutation that sorts the keys; pad entries carry PAD_INDEX.
+    Stability of the radix passes guarantees equal keys keep original order,
+    and that live rows precede pad rows even when live keys equal PAD_KEY.
+    """
+    col = _as_key_column(keys, cfg)
+    cfg = cfg or EngineConfig()
+    method = _resolve_method(method)
+    idx = jnp.arange(col.length, dtype=jnp.uint32)
+    idx = pad_to_tile(idx, cfg, PAD_INDEX)
+    if method == "radix":
+        sorted_keys, (perm,) = _sort_padded(col.data, (idx,), cfg, strategy, 1)
+    elif method == "xla":
+        sorted_keys, (perm,) = _xla_sort_padded(col.data, (idx,))
+    else:
+        raise ValueError(f"unknown sort method: {method}")
+    return Column(sorted_keys, col.length), Column(perm, col.length)
+
+
+def sort_table(
+    table: Table,
+    key: str,
+    cfg: EngineConfig | None = None,
+    method: str = "auto",
+    strategy: str | None = None,
+) -> Table:
+    """Sort a whole table by one uint32 key column, stably.
+
+    Key+payload sort: sort (key, index) pairs, then gather every payload
+    column through the sorted index — the ``SortOriginalData.comp:33-50``
+    payload permutation, generalized to arbitrarily many columns.
+    """
+    cfg = cfg or EngineConfig()
+    key_col = table[key]
+    sorted_keys, perm = sort_pairs(key_col, cfg, method, strategy)
+    out = {key: sorted_keys}
+    src = perm.data.astype(jnp.int32)
+    for name in table.names():
+        if name == key:
+            continue
+        col = table[name]
+        # Pad rows gather arbitrary data (their src is the PAD_INDEX
+        # sentinel, clipped); they sit past `length` and are never observed.
+        gathered = permute.gather_rows(
+            col.data, jnp.clip(src, 0, col.padded_length - 1)
+        )
+        out[name] = Column(gathered, col.length)
+    return Table(out)
+
+
+def _as_key_column(keys, cfg: EngineConfig | None) -> Column:
+    cfg = cfg or EngineConfig()
+    if isinstance(keys, Column):
+        return keys
+    arr = jnp.asarray(keys, dtype=jnp.uint32)
+    return Column(pad_to_tile(arr, cfg, PAD_KEY), arr.shape[0])
