@@ -42,8 +42,11 @@ def scatter_by_destination(
     """
     strategy = strategy or default_scatter_strategy()
     if strategy == "sort":
-        out = jax.lax.sort((dest, *values), num_keys=1)
-        return list(out[1:])
+        # Sorting (dest, iota) yields the inverse permutation; rows then move
+        # via gather, which handles any column rank in one pass.
+        iota = jax.lax.iota(jnp.int32, dest.shape[0])
+        _, inv = jax.lax.sort((dest, iota), num_keys=1)
+        return [gather_rows(v, inv) for v in values]
     if strategy == "xla_scatter":
         return [
             jnp.zeros_like(v)

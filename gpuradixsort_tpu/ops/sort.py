@@ -168,6 +168,14 @@ def sort_table(
 def _as_key_column(keys, cfg: EngineConfig | None) -> Column:
     cfg = cfg or EngineConfig()
     if isinstance(keys, Column):
-        return keys
+        # Rows past the live prefix may hold arbitrary data (e.g. the dropped
+        # rows after a filter compaction) — re-assert the pad sentinel so
+        # they sort to the back, exactly like the reference's pad writes in
+        # OriginalDataToIntermediateData.comp:44-47.
+        if keys.length == keys.padded_length:
+            return keys
+        pos = jnp.arange(keys.padded_length, dtype=jnp.int32)
+        data = jnp.where(pos < keys.length, keys.data, PAD_KEY)
+        return Column(data, keys.length)
     arr = jnp.asarray(keys, dtype=jnp.uint32)
     return Column(pad_to_tile(arr, cfg, PAD_KEY), arr.shape[0])
