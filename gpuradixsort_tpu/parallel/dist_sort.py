@@ -1,0 +1,268 @@
+"""Distributed stable sort: range-partition exchange + local radix sort.
+
+The reference's two-level scan (work-group scan + scan-of-group-sums,
+``ParallelPrefixScan.comp:93-104,151-196``) is the in-miniature pattern this
+module scales to a device mesh (SURVEY.md §5 "long-context analog"): the
+levels become chip-local sort -> global bucket histogram (``psum``) ->
+balanced bucket-to-shard assignment -> ``all_to_all`` exchange over ICI ->
+chip-local merge sort of received runs.
+
+Stability and bit-exactness:
+- Buckets are key-prefix ranges, so equal keys always land on one shard.
+- The all_to_all receive buffer is source-major and each source block is
+  locally sorted, so a stable local sort reproduces global original order
+  among equal keys — except pad sentinels interleaving with real
+  0xFFFFFFFF keys, which a final stable binary partition on the pad-index
+  sentinel repairs.
+- Output is a ragged sharded table: per-shard sorted buffers of static
+  capacity plus live counts (XLA static shapes; the reference's
+  pad-with-0xffffffff trick, ``OriginalDataToIntermediateData.comp:44-47``,
+  applied at the shard level).
+
+Skew handling: bucket->shard assignment balances *observed* global bucket
+counts (midpoint rule), so moderate skew re-partitions automatically; a
+single bucket larger than a shard's capacity sets the ``overflow`` flag —
+callers retry with a larger ``cap_factor`` or more ``bucket_bits``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from gpuradixsort_tpu.config import PAD_INDEX, PAD_KEY, EngineConfig
+from gpuradixsort_tpu.core.table import round_up
+from gpuradixsort_tpu.ops.filter import _compact_by_mask
+from gpuradixsort_tpu.ops.sort import _sort_padded, _xla_sort_padded
+from gpuradixsort_tpu.parallel.mesh import ROW_AXIS
+
+
+class ShardedSort(NamedTuple):
+    """Per-shard sorted runs: global result = concat of live prefixes."""
+
+    keys: jax.Array  # (num_shards, capacity) uint32, sorted per shard
+    index: jax.Array  # (num_shards, capacity) uint32 original row ids
+    counts: jax.Array  # (num_shards,) int32 live rows per shard
+    overflow: jax.Array  # () bool — capacity exceeded, retry with more slack
+
+
+def _local_sort(keys, idx, cfg: EngineConfig, method: str):
+    if method == "radix":
+        k, (i,) = _sort_padded(keys, (idx,), cfg, None, 1)
+    else:
+        k, (i,) = _xla_sort_padded(keys, (idx,))
+    return k, i
+
+
+def _shard_fn(
+    keys: jax.Array,
+    n_live: jax.Array,
+    cfg: EngineConfig,
+    num_shards: int,
+    capacity: int,
+    bucket_bits: int,
+    method: str,
+):
+    """Per-shard body (runs under shard_map over the "x" axis)."""
+    n_local = keys.shape[0]
+    shard = jax.lax.axis_index(ROW_AXIS)
+    gidx = (
+        shard.astype(jnp.uint32) * jnp.uint32(n_local)
+        + jnp.arange(n_local, dtype=jnp.uint32)
+    )
+    # Tail-pad rows (global index >= n_live) are dropped from the exchange:
+    # they would otherwise concentrate in the 0xFFFFFFFF bucket and blow the
+    # capacity of the last shard.  After the local sort they form an exact
+    # suffix (pads have the max key AND the largest indices, so stability
+    # puts them after any real 0xFFFFFFFF keys).
+    pad_count = jnp.sum((gidx >= n_live).astype(jnp.int32))
+    live_local = jnp.int32(n_local) - pad_count
+
+    # 1. Chip-local stable sort of (key, original-global-index).
+    skeys, sidx = _local_sort(keys, gidx, cfg, method)
+
+    # 2. Global bucket histogram, range-adaptive: buckets split the observed
+    #    global [kmin, kmax] live-key range evenly, not the raw uint32 space
+    #    (fixed high-bit prefixes collapse e.g. the reference's 0..N-1
+    #    permutation dataset into a single bucket).  The bucket map is
+    #    monotone in the key, so the locally sorted run stays bucket-sorted
+    #    and equal keys share a bucket.
+    num_buckets = 1 << bucket_bits
+    last = jnp.maximum(live_local - 1, 0)
+    kmin_local = jnp.where(live_local > 0, skeys[0], PAD_KEY)
+    kmax_local = jnp.where(live_local > 0, skeys[last], jnp.uint32(0))
+    kmin = jax.lax.pmin(kmin_local, ROW_AXIS)
+    kmax = jax.lax.pmax(kmax_local, ROW_AXIS)
+    span = kmax - jnp.minimum(kmin, kmax)
+    width = span // jnp.uint32(num_buckets) + jnp.uint32(1)
+    # Live keys are all >= kmin and pads are 0xFFFFFFFF >= kmin, so the
+    # subtraction never wraps.
+    sbuckets = jnp.clip(
+        ((skeys - kmin) // width).astype(jnp.int32), 0, num_buckets - 1
+    )
+    edges = jnp.arange(num_buckets + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(sbuckets, edges, side="left").astype(jnp.int32)
+    local_hist = bounds[1:] - bounds[:-1]
+    # Remove the pad suffix from the last bucket's count (pads clip to it).
+    local_hist = local_hist.at[num_buckets - 1].add(-pad_count)
+    hist = jax.lax.psum(local_hist, ROW_AXIS)  # (num_buckets,)
+
+    # 3. Balanced bucket -> shard assignment (midpoint rule keeps each
+    #    bucket whole, so equal keys stay together).
+    total = jnp.maximum(jnp.sum(hist), 1)
+    cum_excl = jnp.cumsum(hist) - hist
+    mid = cum_excl + hist // 2
+    shard_of_bucket = jnp.clip(
+        (mid * num_shards) // total, 0, num_shards - 1
+    ).astype(jnp.int32)
+
+    # 4. Split my sorted run at shard boundaries: first bucket of each shard.
+    first_bucket = jnp.searchsorted(
+        shard_of_bucket, jnp.arange(num_shards, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    lo = jnp.searchsorted(sbuckets, first_bucket, side="left").astype(jnp.int32)
+    hi = jnp.concatenate([lo[1:], jnp.asarray([n_local], jnp.int32)])
+    # Clip away the pad suffix so pads are never sent anywhere.
+    lo = jnp.minimum(lo, live_local)
+    hi = jnp.minimum(hi, live_local)
+    send_counts = hi - lo  # (num_shards,)
+    overflow = jnp.any(send_counts > capacity)
+
+    # 5. Pack fixed-capacity send blocks (gather with tail masking).
+    col = jnp.arange(capacity, dtype=jnp.int32)
+    src = lo[:, None] + col[None, :]
+    valid = col[None, :] < send_counts[:, None]
+    send_keys = jnp.where(
+        valid, jnp.take(skeys, jnp.clip(src, 0, n_local - 1)), PAD_KEY
+    )
+    send_idx = jnp.where(
+        valid, jnp.take(sidx, jnp.clip(src, 0, n_local - 1)), PAD_INDEX
+    )
+
+    # 6. Exchange over ICI.  tiled all_to_all keeps source-major order.
+    recv_keys = jax.lax.all_to_all(
+        send_keys, ROW_AXIS, split_axis=0, concat_axis=0, tiled=True
+    )
+    recv_idx = jax.lax.all_to_all(
+        send_idx, ROW_AXIS, split_axis=0, concat_axis=0, tiled=True
+    )
+    recv_counts = jax.lax.all_to_all(
+        send_counts, ROW_AXIS, split_axis=0, concat_axis=0, tiled=True
+    )
+    count = jnp.sum(recv_counts).astype(jnp.int32)
+    overflow = jax.lax.pmax(overflow.astype(jnp.int32), ROW_AXIS) > 0
+
+    # 7. Local stable merge of the received runs (pads sort to the back).
+    flat_keys = recv_keys.reshape(-1)
+    flat_idx = recv_idx.reshape(-1)
+    mkeys, midx = _local_sort(flat_keys, flat_idx, cfg, method)
+    # 8. Repair the 0xFFFFFFFF tail: real max-keys before pad sentinels.
+    (mkeys, midx), _ = _compact_by_mask(
+        (midx != PAD_INDEX).astype(jnp.int32), [mkeys, midx], cfg, None
+    )
+    return mkeys, midx, count.reshape(1), overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "bucket_bits", "cap_factor", "method"),
+)
+def _dist_sort_padded(
+    keys: jax.Array,
+    n_live: jax.Array,
+    mesh,
+    cfg: EngineConfig,
+    bucket_bits: int,
+    cap_factor: float,
+    method: str,
+):
+    num_shards = mesh.shape[ROW_AXIS]
+    n = keys.shape[0]
+    n_local = n // num_shards
+    # Capacity of one (source -> dest) exchange block.  Balanced data sends
+    # ~n_local/num_shards per block; cap_factor is the skew slack.  Each
+    # shard's receive buffer is num_shards * capacity ~ cap_factor * n_local,
+    # so per-shard memory stays O(N / num_shards).
+    capacity = round_up(
+        max(1, int(n_local * cap_factor) // num_shards), cfg.block
+    )
+    fn = functools.partial(
+        _shard_fn,
+        cfg=cfg,
+        num_shards=num_shards,
+        capacity=capacity,
+        bucket_bits=bucket_bits,
+        method=method,
+    )
+    mkeys, midx, counts, overflow = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(ROW_AXIS), P()),
+        out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P()),
+        # Pallas calls inside the body don't carry varying-mesh-axis
+        # annotations; replication of the overflow flag is enforced by pmax.
+        check_vma=False,
+    )(keys, n_live)
+    num = num_shards
+    return (
+        mkeys.reshape(num, -1),
+        midx.reshape(num, -1),
+        counts.reshape(num),
+        overflow,
+    )
+
+
+def dist_sort_pairs(
+    keys: jax.Array,
+    mesh,
+    cfg: EngineConfig | None = None,
+    bucket_bits: int = 12,
+    cap_factor: float = 2.0,
+    method: str = "auto",
+    n_live: int | None = None,
+) -> ShardedSort:
+    """Distributed stable sort of (key, original-index) pairs over a mesh.
+
+    ``keys``: (n,) uint32, n divisible by num_shards * cfg.block (pad with
+    PAD_KEY via core.table.pad_to_tile to arrange this).  Returns per-shard
+    sorted runs; ``gather_sorted`` assembles the global result on host.
+    """
+    cfg = cfg or EngineConfig()
+    if method == "auto":
+        method = "xla" if jax.default_backend() == "tpu" else "radix"
+    num_shards = mesh.shape[ROW_AXIS]
+    n = keys.shape[0]
+    if n % (num_shards * cfg.block):
+        raise ValueError(
+            f"n={n} must be a multiple of num_shards*block="
+            f"{num_shards * cfg.block}; pad first"
+        )
+    if bucket_bits < 1 or bucket_bits > 20:
+        raise ValueError("bucket_bits must be in [1, 20]")
+    if n_live is None:
+        n_live = n
+    mkeys, midx, counts, overflow = _dist_sort_padded(
+        keys, jnp.uint32(n_live), mesh, cfg, bucket_bits, cap_factor, method
+    )
+    return ShardedSort(mkeys, midx, counts, overflow)
+
+
+def gather_sorted(result: ShardedSort) -> tuple:
+    """Host-side assembly: concatenate live prefixes in shard order."""
+    import numpy as np
+
+    if bool(result.overflow):
+        raise RuntimeError(
+            "distributed sort overflowed shard capacity; retry with larger "
+            "cap_factor or more bucket_bits"
+        )
+    keys = np.asarray(result.keys)
+    idx = np.asarray(result.index)
+    counts = np.asarray(result.counts)
+    out_k = np.concatenate([keys[s, : counts[s]] for s in range(len(counts))])
+    out_i = np.concatenate([idx[s, : counts[s]] for s in range(len(counts))])
+    return out_k, out_i
