@@ -40,23 +40,32 @@ def main() -> None:
     keys = pad_to_tile(jnp.asarray(keys_np), cfg, jnp.uint32(0xFFFFFFFF))
     idx = pad_to_tile(jnp.arange(N, dtype=jnp.uint32), cfg, PAD_INDEX)
 
+    # K sorts chained per dispatch: amortizes the fixed per-dispatch cost
+    # (remote-tunnel round trip, ~2-3 ms here) the way any pipelined
+    # production workload does, leaving steady-state device throughput —
+    # the analog of the reference timing device work via GL queries rather
+    # than host round trips (ParallelSort.cpp:207-228).
+    K = 8
+
     def make_step(method):
         @jax.jit
         def step(k):
-            if method == "radix":
-                s, (p,) = _sort_padded(k, (idx,), cfg, None, 1)
-            else:
-                s, (p,) = _xla_sort_padded(k, (idx,))
-            # correctness signal folded into the chain: sorted?
-            ok = jnp.all(s[1:] >= s[:-1])
-            return remix_keys(s) ^ (ok.astype(jnp.uint32) - 1)
+            for _ in range(K):
+                if method == "radix":
+                    s, (p,) = _sort_padded(k, (idx,), cfg, None, 1)
+                else:
+                    s, (p,) = _xla_sort_padded(k, (idx,))
+                # correctness signal folded into the chain: sorted?
+                ok = jnp.all(s[1:] >= s[:-1])
+                k = remix_keys(s) ^ (ok.astype(jnp.uint32) - 1)
+            return k
 
         return step
 
     results = {}
     for method in ("xla", "radix"):
         try:
-            dt = bench_chain(make_step(method), keys, reps=5, warmup=2)
+            dt = bench_chain(make_step(method), keys, reps=3, warmup=1) / K
             results[method] = dt
             print(
                 f"[bench] {method}: {dt * 1e3:.2f} ms/sort "
