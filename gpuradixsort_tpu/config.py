@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -105,14 +106,33 @@ REFERENCE_PARITY_CONFIG = EngineConfig(radix_bits=1)
 
 @functools.cache
 def on_tpu() -> bool:
-    """True when the default JAX backend is a real TPU.
-
-    Pallas TPU kernels run compiled on TPU and in interpreter mode everywhere
-    else (CPU CI, the virtual multi-device mesh used by the distributed tests).
-    """
+    """True when the default JAX backend is a real TPU."""
     return jax.default_backend() == "tpu"
 
 
 def interpret_mode() -> bool:
     """Whether pallas_call should run in interpreter mode on this backend."""
     return not on_tpu()
+
+
+def kernel_impl() -> str:
+    """Resolve the kernel implementation backend for the Pallas kernels.
+
+    - ``"mosaic"``: compiled Pallas (real TPU; the production path).
+    - ``"interpret"``: Pallas interpreter — exercises the exact kernel body
+      off-TPU.  Used by the kernel unit tests at small shapes (interpreting
+      the heavily vectorized bodies compiles huge XLA graphs, so operator-
+      level CPU tests do not run this path).
+    - ``"reference"``: compact jnp reference implementations — semantically
+      identical, oracle-tested against the kernels.  The default off-TPU and
+      the engine's "paranoid mode" cross-check (SURVEY.md §5, race-detection
+      row: every Pallas kernel has a jnp reference implementation).
+
+    Override with env ``GRS_KERNEL_IMPL=mosaic|interpret|reference``.
+    """
+    forced = os.environ.get("GRS_KERNEL_IMPL")
+    if forced:
+        if forced not in ("mosaic", "interpret", "reference"):
+            raise ValueError(f"GRS_KERNEL_IMPL={forced!r} is not a backend")
+        return forced
+    return "mosaic" if on_tpu() else "reference"

@@ -37,7 +37,7 @@ from gpuradixsort_tpu.config import (
     LANES,
     TILES_PER_STEP,
     EngineConfig,
-    interpret_mode,
+    kernel_impl,
 )
 from gpuradixsort_tpu.kernels.common import exclusive_cumsum
 from gpuradixsort_tpu.kernels.radix import _digits_of
@@ -163,13 +163,35 @@ def _bucketize_kernel(
         oi_ref[sl, :] = oi
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "cfg"))
-def bucketize_tiles(
+def _bucketize_ref(
     keys2d: jax.Array, idx2d: jax.Array, shift: int, cfg: EngineConfig
+):
+    """jnp reference implementation (paranoid-mode oracle; CPU-test path)."""
+    num_tiles = keys2d.shape[0] // cfg.tile_rows
+    k = keys2d.reshape(num_tiles, -1)
+    i = idx2d.reshape(num_tiles, -1)
+    digits = _digits_of(k, shift, cfg.radix)
+    order = jnp.argsort(digits, axis=1, stable=True)
+    return (
+        jnp.take_along_axis(k, order, axis=1).reshape(keys2d.shape),
+        jnp.take_along_axis(i, order, axis=1).reshape(idx2d.shape),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "cfg", "impl"))
+def bucketize_tiles(
+    keys2d: jax.Array,
+    idx2d: jax.Array,
+    shift: int,
+    cfg: EngineConfig,
+    impl: str | None = None,
 ):
     """Stable-sort every tile by digit (keys2d/idx2d: (T*tile_rows, LANES))."""
     if cfg.radix > 16:
         raise ValueError("bucketize supports radix <= 16 (sortkey = 4+7 bits)")
+    impl = impl or kernel_impl()
+    if impl == "reference":
+        return _bucketize_ref(keys2d, idx2d, shift, cfg)
     rows = keys2d.shape[0]
     step_rows = cfg.tile_rows * TILES_PER_STEP
     num_steps = rows // step_rows
@@ -190,5 +212,5 @@ def bucketize_tiles(
             jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype),
             jax.ShapeDtypeStruct(idx2d.shape, idx2d.dtype),
         ],
-        interpret=interpret_mode(),
+        interpret=impl == "interpret",
     )(keys2d, idx2d)

@@ -36,7 +36,7 @@ from gpuradixsort_tpu.config import (
     LANES,
     TILES_PER_STEP,
     EngineConfig,
-    interpret_mode,
+    kernel_impl,
 )
 from gpuradixsort_tpu.kernels.common import exclusive_cumsum, inclusive_cumsum
 
@@ -116,8 +116,34 @@ def _grid_args(keys2d, cfg: EngineConfig):
     return rows // step_rows, step_rows
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "cfg"))
-def tile_histograms(keys2d: jax.Array, shift: int, cfg: EngineConfig) -> jax.Array:
+def _tile_histograms_ref(keys2d: jax.Array, shift: int, cfg: EngineConfig):
+    """jnp reference implementation (paranoid-mode oracle; CPU-test path)."""
+    num_tiles = keys2d.shape[0] // cfg.tile_rows
+    digits = _digits_of(keys2d, shift, cfg.radix).reshape(num_tiles, -1)
+    one_hot = digits[:, :, None] == jnp.arange(cfg.radix, dtype=jnp.int32)
+    hist = jnp.sum(one_hot, axis=1, dtype=jnp.int32)  # (num_tiles, radix)
+    return jnp.pad(hist, ((0, 0), (0, LANES - cfg.radix)))
+
+
+def _tile_destinations_ref(
+    keys2d: jax.Array, offsets: jax.Array, shift: int, cfg: EngineConfig
+):
+    """jnp reference implementation (paranoid-mode oracle; CPU-test path)."""
+    num_tiles = keys2d.shape[0] // cfg.tile_rows
+    digits = _digits_of(keys2d, shift, cfg.radix).reshape(num_tiles, -1)
+    one_hot = (
+        digits[:, :, None] == jnp.arange(cfg.radix, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    rank = jnp.cumsum(one_hot, axis=1) - one_hot  # exclusive, per tile/bucket
+    my_rank = jnp.take_along_axis(rank, digits[:, :, None], axis=2)[..., 0]
+    my_base = jnp.take_along_axis(offsets, digits, axis=1)
+    return (my_base + my_rank).reshape(keys2d.shape).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "cfg", "impl"))
+def tile_histograms(
+    keys2d: jax.Array, shift: int, cfg: EngineConfig, impl: str | None = None
+) -> jax.Array:
     """Per-tile digit histograms.
 
     keys2d: (num_tiles * tile_rows, LANES) uint32.  Returns
@@ -125,6 +151,9 @@ def tile_histograms(keys2d: jax.Array, shift: int, cfg: EngineConfig) -> jax.Arr
     are zero).
     """
     num_steps, step_rows = _grid_args(keys2d, cfg)
+    impl = impl or kernel_impl()
+    if impl == "reference":
+        return _tile_histograms_ref(keys2d, shift, cfg)
     kernel = functools.partial(
         _hist_kernel,
         shift=shift,
@@ -144,13 +173,17 @@ def tile_histograms(keys2d: jax.Array, shift: int, cfg: EngineConfig) -> jax.Arr
         out_shape=jax.ShapeDtypeStruct(
             (num_steps * TILES_PER_STEP, LANES), jnp.int32
         ),
-        interpret=interpret_mode(),
+        interpret=impl == "interpret",
     )(keys2d)
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "cfg"))
+@functools.partial(jax.jit, static_argnames=("shift", "cfg", "impl"))
 def tile_destinations(
-    keys2d: jax.Array, offsets: jax.Array, shift: int, cfg: EngineConfig
+    keys2d: jax.Array,
+    offsets: jax.Array,
+    shift: int,
+    cfg: EngineConfig,
+    impl: str | None = None,
 ) -> jax.Array:
     """Stable global destination index for every element.
 
@@ -160,6 +193,9 @@ def tile_destinations(
     permutation of 0..N-1.
     """
     num_steps, step_rows = _grid_args(keys2d, cfg)
+    impl = impl or kernel_impl()
+    if impl == "reference":
+        return _tile_destinations_ref(keys2d, offsets, shift, cfg)
     kernel = functools.partial(
         _dest_kernel,
         shift=shift,
@@ -182,7 +218,7 @@ def tile_destinations(
             (step_rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(keys2d.shape, jnp.int32),
-        interpret=interpret_mode(),
+        interpret=impl == "interpret",
     )(keys2d, offsets)
 
 

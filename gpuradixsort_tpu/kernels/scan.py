@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gpuradixsort_tpu.config import LANES, EngineConfig, interpret_mode
+from gpuradixsort_tpu.config import LANES, EngineConfig, kernel_impl
 from gpuradixsort_tpu.core.table import round_up
 from gpuradixsort_tpu.kernels.common import rowmajor_exclusive_scan_2d
 
@@ -51,10 +51,15 @@ def _scan_kernel(x_ref, out_ref, total_ref, carry_ref):
     total_ref[0, 0] = carry + tile_total
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows",))
-def _exclusive_scan_2d(x2d: jax.Array, tile_rows: int):
+@functools.partial(jax.jit, static_argnames=("tile_rows", "impl"))
+def _exclusive_scan_2d(x2d: jax.Array, tile_rows: int, impl: str | None = None):
     rows = x2d.shape[0]
     num_tiles = rows // tile_rows
+    impl = impl or kernel_impl()
+    if impl == "reference":
+        flat = x2d.reshape(-1)
+        incl = jnp.cumsum(flat)
+        return (incl - flat).reshape(x2d.shape), incl[-1:].reshape(1, 1)
     scan, total = pl.pallas_call(
         _scan_kernel,
         grid=(num_tiles,),
@@ -73,13 +78,13 @@ def _exclusive_scan_2d(x2d: jax.Array, tile_rows: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
-        interpret=interpret_mode(),
+        interpret=impl == "interpret",
     )(x2d)
     return scan, total
 
 
 def exclusive_scan(
-    x: jax.Array, cfg: EngineConfig | None = None
+    x: jax.Array, cfg: EngineConfig | None = None, impl: str | None = None
 ) -> tuple[jax.Array, jax.Array]:
     """Exclusive prefix scan of a 1-D integer array.
 
@@ -96,7 +101,7 @@ def exclusive_scan(
     if padded != n:
         x = jnp.concatenate([x, jnp.zeros((padded - n,), jnp.int32)])
     x2d = x.reshape(padded // LANES, LANES)
-    scan2d, total = _exclusive_scan_2d(x2d, cfg.tile_rows)
+    scan2d, total = _exclusive_scan_2d(x2d, cfg.tile_rows, impl)
     scan = scan2d.reshape(padded)[:n]
     # Tail pads are zeros, so the kernel's grand total equals the live total.
     return scan, total[0, 0]
