@@ -1,0 +1,273 @@
+"""Window-writer kernel: the global stable scatter, as streaming aligned DMA.
+
+Reference equivalent: ``Shaders/ParallelSort/SortIntermediateData.comp:42-66``
+— a per-element indexed store ``IntermediateDataBuffer[dest] = value``
+dispatched at ``Source/ComputeControllers/ParallelSort.cpp:283-292``.  TPU has
+no efficient random store, so the scatter is recast (SURVEY.md §7 hard part 1,
+docs/fast_scatter_design.md step 3) as run-granular streaming:
+
+After ``bucketize_tiles`` each tile is digit-major, so the globally scattered
+output is exactly the concatenation of the (digit r, tile t) runs in
+(r-outer, t-inner) lexicographic order — the same group-offset + within-group
+-rank factorization the reference uses (``SortIntermediateData.comp:42-44``),
+lifted from elements to whole runs.  The kernel walks that (r, t) order as a
+sequential Pallas grid and maintains an *aligned streaming frontier*:
+
+- a VMEM carry row holds the current partial output row (< 128 elements);
+- each step DMAs the source window rows covering its run from HBM, rotates
+  the run into frontier alignment (one dynamic lane roll + one sublane-carry
+  select), merges it behind the carry, and writes only the now-complete
+  128-lane rows back to HBM at the frontier row;
+- every output row is therefore written exactly once, by full-row DMA, with
+  no read-modify-write and no overlap between steps.
+
+All per-step scalars (source row, roll amount, carry fill, rows to write,
+frontier row) are precomputed host-side from the histogram/offset tables —
+the grid walks them via a per-step SMEM meta block, so the kernel body does
+no address arithmetic beyond reading five scalars.
+
+Runs longer than the static window (digit skew) are detected host-side
+(``counts.max() > window``) and the pass falls back to the sort-strategy
+scatter; see ops/sort.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpuradixsort_tpu.config import LANES, EngineConfig, kernel_impl
+
+# Meta-table field indices (one row of META_FIELDS int32 scalars per step).
+_SRC_ROW, _ROLL, _UPSHIFT, _CARRY_FILL, _FULL_ROWS, _DST_ROW = range(6)
+META_FIELDS = 8  # padded to 8 for SMEM block friendliness
+
+# Window size in 128-lane rows.  A (digit, tile) run of up to
+# window_rows*LANES elements is handled per step; the DMA reads
+# window_rows + 2 rows (one for the unaligned head, one of rotation slack).
+DEFAULT_WINDOW_ROWS = 2
+
+
+def plan_windows(
+    hist: jax.Array, offsets: jax.Array, tile_rows: int, radix: int,
+    window_rows: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Host-side (traced, tiny) per-step scalar plan for the kernel.
+
+    hist/offsets: (T, LANES) int32 per-tile counts / global base offsets
+    (lane r = bucket r).  Returns (meta, overflow) where meta is
+    (radix * T, META_FIELDS) int32 in (r-outer, t-inner) step order and
+    overflow is a scalar bool (some run exceeds the window).
+    """
+    num_tiles = hist.shape[0]
+    w = window_rows * LANES
+    local_off = jnp.cumsum(hist, axis=1) - hist  # within-tile run starts
+    # (T, R) -> (R, T) step-major views of the R live lanes.
+    cnt = hist[:, :radix].T
+    off = offsets[:, :radix].T
+    loff = local_off[:, :radix].T
+    overflow = jnp.max(cnt) > w
+    cnt = jnp.minimum(cnt, w)  # keep all addresses in range on overflow
+
+    tile_base = jnp.arange(num_tiles, dtype=jnp.int32) * (tile_rows * LANES)
+    src = tile_base[None, :] + loff
+    src_row = src // LANES
+    p = src % LANES
+    c = off % LANES
+    dst_row = off // LANES
+    full_rows = (off + cnt) // LANES - dst_row
+    d = c - p
+    roll = jnp.where(d < 0, d + LANES, d)
+    upshift = (d < 0).astype(jnp.int32)
+
+    fields = jnp.stack(
+        [src_row, roll, upshift, c, full_rows, dst_row], axis=-1
+    ).reshape(-1, 6)
+    meta = jnp.concatenate(
+        [fields, jnp.zeros((fields.shape[0], META_FIELDS - 6), jnp.int32)],
+        axis=-1,
+    )
+    return meta.astype(jnp.int32), overflow
+
+
+def _window_kernel(
+    meta_ref, bk_hbm, bi_hbm, ok_hbm, oi_hbm,
+    wk, wi, mk, mi, ck, ci, in_sem, out_sem, *, window_rows,
+):
+    """One step = one (digit, tile) run through the streaming frontier."""
+    r_w = window_rows + 2
+    src_row = meta_ref[0, _SRC_ROW]
+    roll = meta_ref[0, _ROLL]
+    upshift = meta_ref[0, _UPSHIFT]
+    c = meta_ref[0, _CARRY_FILL]
+    full_rows = meta_ref[0, _FULL_ROWS]
+    dst_row = meta_ref[0, _DST_ROW]
+
+    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        ck[:] = jnp.zeros_like(ck)
+        ci[:] = jnp.zeros_like(ci)
+
+    # Fetch the window rows covering this run ([src_row, src_row + r_w)).
+    cp_k = pltpu.make_async_copy(
+        bk_hbm.at[pl.ds(src_row, r_w), :], wk, in_sem.at[0])
+    cp_i = pltpu.make_async_copy(
+        bi_hbm.at[pl.ds(src_row, r_w), :], wi, in_sem.at[1])
+    cp_k.start()
+    cp_i.start()
+    cp_k.wait()
+    cp_i.wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r_w, LANES), 1)
+
+    def align(buf):
+        # Flat-roll the window so run element j lands at flat slot c + j:
+        # dynamic lane roll + sublane carry select, then an optional one-row
+        # up-shift when the roll wrapped the start into row 1.
+        y = pltpu.roll(buf, roll, 1)
+        flat = jnp.where(lane >= roll, y, pltpu.roll(y, 1, 0))
+        return pltpu.roll(flat, jnp.where(upshift == 1, r_w - 1, 0), 0)
+
+    fk = align(wk[:])
+    fi = align(wi[:])
+
+    # Merge behind the carry: row 0's first c lanes are the open partial row.
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (r_w, LANES), 0) == 0
+    keep = row0 & (lane < c)
+    mk[:] = jnp.where(keep, jnp.broadcast_to(ck[:], (r_w, LANES)), fk)
+    mi[:] = jnp.where(keep, jnp.broadcast_to(ci[:], (r_w, LANES)), fi)
+
+    # Write the completed rows (disjoint across steps; each output row is
+    # written exactly once).
+    def write(nrows):
+        def go(_):
+            wr_k = pltpu.make_async_copy(
+                mk.at[pl.ds(0, nrows), :],
+                ok_hbm.at[pl.ds(dst_row, nrows), :], out_sem.at[0])
+            wr_i = pltpu.make_async_copy(
+                mi.at[pl.ds(0, nrows), :],
+                oi_hbm.at[pl.ds(dst_row, nrows), :], out_sem.at[1])
+            wr_k.start()
+            wr_i.start()
+            wr_k.wait()
+            wr_i.wait()
+            return 0
+        return go
+
+    jax.lax.switch(
+        full_rows, [lambda _: 0] + [write(n) for n in range(1, r_w)], 0
+    )
+
+    # The new carry is the still-open row just past the written ones.
+    ck[:] = mk[pl.ds(full_rows, 1), :]
+    ci[:] = mi[pl.ds(full_rows, 1), :]
+
+
+def _scatter_runs_ref(bk2d, bi2d, hist, offsets, tile_rows: int, radix: int):
+    """jnp oracle: element-exact scatter of the bucketized runs."""
+    num_tiles = hist.shape[0]
+    local_off = jnp.cumsum(hist, axis=1) - hist
+    pos = jnp.arange(tile_rows * LANES, dtype=jnp.int32)
+    pos = jnp.broadcast_to(pos[None, :], (num_tiles, tile_rows * LANES))
+    k = bk2d.reshape(num_tiles, -1)
+    i = bi2d.reshape(num_tiles, -1)
+    # Which run does each in-tile slot belong to?  Slots are digit-major, so
+    # the run id is the searchsorted bucket of the slot position.
+    ends = jnp.cumsum(hist[:, :radix], axis=1)
+    b = jax.vmap(
+        lambda e, p: jnp.searchsorted(e, p, side="right"), in_axes=(0, 0)
+    )(ends.astype(jnp.int32), pos).astype(jnp.int32)
+    b = jnp.minimum(b, radix - 1)
+    base = jnp.take_along_axis(offsets, b, axis=1)
+    loff = jnp.take_along_axis(local_off, b, axis=1)
+    dest = base + (pos - loff)
+    flat_dest = dest.reshape(-1)
+    out_k = jnp.zeros_like(bk2d.reshape(-1)).at[flat_dest].set(
+        k.reshape(-1), unique_indices=True, mode="drop")
+    out_i = jnp.zeros_like(bi2d.reshape(-1)).at[flat_dest].set(
+        i.reshape(-1), unique_indices=True, mode="drop")
+    return out_k.reshape(bk2d.shape), out_i.reshape(bi2d.shape)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "window_rows", "impl")
+)
+def scatter_runs(
+    bk2d: jax.Array,
+    bi2d: jax.Array,
+    hist: jax.Array,
+    offsets: jax.Array,
+    cfg: EngineConfig,
+    window_rows: int = DEFAULT_WINDOW_ROWS,
+    impl: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Scatter bucketized tiles to their global stable positions.
+
+    bk2d/bi2d: (T * tile_rows, LANES) bucketized keys/indices (each tile
+    digit-major, from ``bucketize_tiles``).  hist/offsets: (T, LANES) per-tile
+    counts and global digit-major offsets (``global_offsets``).  Returns
+    (keys, indices, overflow); on overflow=True the data output is garbage and
+    the caller must fall back (runs longer than ``window_rows * 128``).
+    """
+    radix = cfg.radix
+    num_tiles = hist.shape[0]
+    meta, overflow = plan_windows(
+        hist, offsets, cfg.tile_rows, radix, window_rows)
+    impl = impl or kernel_impl()
+    if impl == "reference":
+        ok, oi = _scatter_runs_ref(
+            bk2d, bi2d, hist, offsets, cfg.tile_rows, radix)
+        return ok, oi, overflow
+
+    r_w = window_rows + 2
+    rows = bk2d.shape[0]
+    # Tail slack: the last tiles' windows read up to r_w rows past the data.
+    slack = jnp.zeros((r_w, LANES), bk2d.dtype)
+    bk_p = jnp.concatenate([bk2d, slack], axis=0)
+    bi_p = jnp.concatenate([bi2d, slack.astype(bi2d.dtype)], axis=0)
+
+    kernel = functools.partial(_window_kernel, window_rows=window_rows)
+    grid = (radix, num_tiles)
+    ok, oi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, META_FIELDS),
+                lambda r, t: (r * num_tiles + t, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), bk2d.dtype),
+            jax.ShapeDtypeStruct((rows, LANES), bi2d.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r_w, LANES), bk2d.dtype),
+            pltpu.VMEM((r_w, LANES), bi2d.dtype),
+            pltpu.VMEM((r_w, LANES), bk2d.dtype),
+            pltpu.VMEM((r_w, LANES), bi2d.dtype),
+            pltpu.VMEM((1, LANES), bk2d.dtype),
+            pltpu.VMEM((1, LANES), bi2d.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True,
+        ),
+        interpret=impl == "interpret",
+    )(meta, bk_p, bi_p)
+    return ok, oi, overflow
