@@ -26,6 +26,8 @@ from gpuradixsort_tpu.config import (
 )
 from gpuradixsort_tpu.core.table import Column, Table, pad_to_tile, round_up
 from gpuradixsort_tpu.kernels import radix as radix_kernels
+from gpuradixsort_tpu.kernels.bucketize import bucketize_tiles
+from gpuradixsort_tpu.kernels.scatter import DEFAULT_WINDOW_ROWS, scatter_runs
 from gpuradixsort_tpu.ops import permute
 
 
@@ -64,6 +66,66 @@ def _sort_padded(keys: jax.Array, carried: tuple, cfg: EngineConfig,
     return keys, carried
 
 
+def _fused_pass(keys2d, idx2d, shift: int, cfg: EngineConfig,
+                window_rows: int):
+    """One fused pass: histogram -> bucketize -> window-write.
+
+    The all-Pallas pipeline of docs/fast_scatter_design.md: per-tile local
+    reorder in VMEM + run-granular streaming DMA scatter — no ``lax.sort``
+    anywhere.  Data-adaptive skip: a pass whose digit is globally constant is
+    the identity (the multi-bit generalization of skipping a dead bit; the
+    reference always runs all 32 bit-passes, ``ParallelSort.cpp:236-298``).
+    Returns (keys2d, idx2d, overflow) — on overflow (a run longer than the
+    window) the data is garbage and the caller falls back.
+    """
+    hist = radix_kernels.tile_histograms(keys2d, shift, cfg)
+    offsets = radix_kernels.global_offsets(hist)
+    nontrivial = jnp.sum(jnp.sum(hist, axis=0) > 0) > 1
+    overflow = nontrivial & (
+        jnp.max(hist) > window_rows * LANES
+    )
+
+    def run(args):
+        k2, i2 = args
+        bk, bi = bucketize_tiles(k2, i2, shift, cfg)
+        ok, oi, _ = scatter_runs(bk, bi, hist, offsets, cfg, window_rows)
+        return ok, oi
+
+    ok, oi = jax.lax.cond(
+        nontrivial & ~overflow, run, lambda a: a, (keys2d, idx2d)
+    )
+    return ok, oi, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "window_rows"))
+def _fused_sort_padded(
+    keys: jax.Array, idx: jax.Array, cfg: EngineConfig,
+    window_rows: int = DEFAULT_WINDOW_ROWS,
+):
+    """Stable (key, index) sort via the fused Pallas pipeline.
+
+    Digit skew past the window sets per-pass overflow; the whole sort then
+    falls back to the XLA sort network on the original input (one
+    ``lax.cond``, so the fallback compiles once, not per pass).
+    """
+    k2 = keys.reshape(-1, LANES)
+    i2 = idx.reshape(-1, LANES)
+    any_overflow = jnp.bool_(False)
+    for p in range(cfg.num_passes):
+        k2, i2, ov = _fused_pass(k2, i2, p * cfg.radix_bits, cfg, window_rows)
+        any_overflow = any_overflow | ov
+
+    def fallback(_):
+        s, i = jax.lax.sort((keys, idx), num_keys=1, is_stable=True)
+        return s, i
+
+    def done(_):
+        return k2.reshape(-1), i2.reshape(-1)
+
+    s, i = jax.lax.cond(any_overflow, fallback, done, None)
+    return s, i, any_overflow
+
+
 def _xla_sort_padded(keys: jax.Array, carried: tuple):
     """Whole-sort fallback via XLA's native TPU sort network.
 
@@ -76,11 +138,11 @@ def _xla_sort_padded(keys: jax.Array, carried: tuple):
 def _resolve_method(method: str) -> str:
     """Pick the fastest implementation for ``method="auto"``.
 
-    The Pallas radix pipeline is the semantic reference implementation; until
-    its fused scatter kernel beats XLA's native sort network on TPU, "auto"
-    routes to the XLA path there (measured: lax.sort ~2.8 ms/M keys vs the
-    interim sort-applied scatter at ~3.4 ms/M/pass).  Both produce identical
-    stable output (tested).
+    Methods: "fused" (all-Pallas histogram/bucketize/window-write pipeline),
+    "radix" (per-pass kernels + sort-strategy scatter; the semantic
+    reference), "xla" (lax.sort network).  "auto" routes to the measured
+    winner per backend — see bench.py / BENCH_r*.json for the numbers behind
+    this choice.
     """
     if method != "auto":
         return method
@@ -101,6 +163,11 @@ def sort_keys(
         sorted_keys, _ = _sort_padded(col.data, (), cfg, strategy, 0)
     elif method == "xla":
         sorted_keys, _ = _xla_sort_padded(col.data, ())
+    elif method == "fused":
+        idx = pad_to_tile(
+            jnp.arange(col.length, dtype=jnp.uint32), cfg, PAD_INDEX
+        )
+        sorted_keys, _, _ = _fused_sort_padded(col.data, idx, cfg)
     else:
         raise ValueError(f"unknown sort method: {method}")
     return Column(sorted_keys, col.length)
@@ -129,6 +196,8 @@ def sort_pairs(
         sorted_keys, (perm,) = _sort_padded(col.data, (idx,), cfg, strategy, 1)
     elif method == "xla":
         sorted_keys, (perm,) = _xla_sort_padded(col.data, (idx,))
+    elif method == "fused":
+        sorted_keys, perm, _ = _fused_sort_padded(col.data, idx, cfg)
     else:
         raise ValueError(f"unknown sort method: {method}")
     return Column(sorted_keys, col.length), Column(perm, col.length)

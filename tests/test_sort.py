@@ -129,3 +129,69 @@ def test_ragged_sizes(n, rng):
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
     out = sort_keys(make_key_column(keys, CFG), CFG)
     np.testing.assert_array_equal(out.to_numpy(), np.sort(keys))
+
+
+class TestFusedMethod:
+    """The all-Pallas fused pipeline (hist -> bucketize -> window-write)."""
+
+    @pytest.mark.parametrize("n", [16, 1000, 10_000])
+    def test_fused_matches_np(self, n, rng):
+        for name, keys in _keysets(rng, n).items():
+            out = sort_keys(make_key_column(keys, CFG), CFG, method="fused")
+            np.testing.assert_array_equal(
+                out.to_numpy(), np.sort(keys), err_msg=f"keyset={name} n={n}"
+            )
+
+    @pytest.mark.parametrize("n", [16, 5000])
+    def test_fused_pairs_stability(self, n, rng):
+        keys = rng.integers(0, 8, size=n, dtype=np.uint32)
+        s, perm = sort_pairs(make_key_column(keys, CFG), CFG, method="fused")
+        np.testing.assert_array_equal(s.to_numpy(), np.sort(keys))
+        np.testing.assert_array_equal(
+            perm.to_numpy(), np.argsort(keys, kind="stable").astype(np.uint32)
+        )
+
+    def test_fused_trivial_pass_skip_all_equal(self):
+        # All-equal keys make every digit globally constant: every pass is
+        # skipped as the identity (no overflow despite tile-long runs).
+        from gpuradixsort_tpu.config import PAD_INDEX
+        from gpuradixsort_tpu.core.table import pad_to_tile
+        from gpuradixsort_tpu.ops.sort import _fused_sort_padded
+
+        n = CFG.block
+        keys = jnp.full((n,), 7, jnp.uint32)
+        idx = pad_to_tile(jnp.arange(n, dtype=jnp.uint32), CFG, PAD_INDEX)
+        s, i, overflow = _fused_sort_padded(keys, idx, CFG, 2)
+        assert not bool(overflow)
+        np.testing.assert_array_equal(np.asarray(s)[:n], np.full(n, 7))
+        np.testing.assert_array_equal(np.asarray(i)[:n], np.arange(n))
+
+    def test_fused_overflow_fallback(self, rng):
+        # 95% of keys share one value: runs exceed the window, the pass
+        # overflows, and the lax.cond fallback must still produce the exact
+        # stable result.
+        from gpuradixsort_tpu.config import PAD_INDEX, PAD_KEY
+        from gpuradixsort_tpu.core.table import pad_to_tile
+        from gpuradixsort_tpu.ops.sort import _fused_sort_padded
+
+        n = CFG.block
+        keys_np = np.where(
+            rng.random(n) < 0.95,
+            np.uint32(5),
+            rng.integers(0, 16, n).astype(np.uint32),
+        )
+        keys = pad_to_tile(jnp.asarray(keys_np), CFG, PAD_KEY)
+        idx = pad_to_tile(jnp.arange(n, dtype=jnp.uint32), CFG, PAD_INDEX)
+        s, i, overflow = _fused_sort_padded(keys, idx, CFG, 2)
+        assert bool(overflow)
+        np.testing.assert_array_equal(np.asarray(s)[:n], np.sort(keys_np))
+        np.testing.assert_array_equal(
+            np.asarray(i)[:n], np.argsort(keys_np, kind="stable")
+        )
+
+    def test_fused_agrees_with_xla(self, rng):
+        n = 20_000
+        keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+        a = sort_keys(make_key_column(keys, CFG), CFG, method="fused")
+        b = sort_keys(make_key_column(keys, CFG), CFG, method="xla")
+        np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
