@@ -42,10 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpuradixsort_tpu.config import LANES, EngineConfig, kernel_impl
 
-# Meta-table field indices (one row of META_FIELDS int32 scalars per step).
-_SRC_ROW, _ROLL, _UPSHIFT, _CARRY_FILL, _FULL_ROWS, _DST_ROW = range(6)
-META_FIELDS = 8  # padded to 8 for SMEM block friendliness
-
 # Window size in 128-lane rows.  A (digit, tile) run of up to
 # window_rows*LANES elements is handled per step; the DMA reads
 # window_rows + 2 rows (one for the unaligned head, one of rotation slack).
@@ -55,13 +51,16 @@ DEFAULT_WINDOW_ROWS = 2
 def plan_windows(
     hist: jax.Array, offsets: jax.Array, tile_rows: int, radix: int,
     window_rows: int,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Host-side (traced, tiny) per-step scalar plan for the kernel.
 
     hist/offsets: (T, LANES) int32 per-tile counts / global base offsets
-    (lane r = bucket r).  Returns (meta, overflow) where meta is
-    (radix * T, META_FIELDS) int32 in (r-outer, t-inner) step order and
-    overflow is a scalar bool (some run exceeds the window).
+    (lane r = bucket r).  Returns ``(off_ext, src, overflow)``: the global
+    output offset per step — extended by one trailing entry (= total
+    elements) so a step's run length is ``off_ext[g+1] - off_ext[g]`` — and
+    the flat source position of each run, both in (r-outer, t-inner) step
+    order; plus the scalar skew flag (some run exceeds the window).
+    Everything else the kernel needs is scalar arithmetic on these two.
     """
     num_tiles = hist.shape[0]
     w = window_rows * LANES
@@ -71,43 +70,36 @@ def plan_windows(
     off = offsets[:, :radix].T
     loff = local_off[:, :radix].T
     overflow = jnp.max(cnt) > w
-    cnt = jnp.minimum(cnt, w)  # keep all addresses in range on overflow
 
     tile_base = jnp.arange(num_tiles, dtype=jnp.int32) * (tile_rows * LANES)
-    src = tile_base[None, :] + loff
-    src_row = src // LANES
-    p = src % LANES
-    c = off % LANES
-    dst_row = off // LANES
-    full_rows = (off + cnt) // LANES - dst_row
-    d = c - p
-    roll = jnp.where(d < 0, d + LANES, d)
-    upshift = (d < 0).astype(jnp.int32)
-
-    fields = jnp.stack(
-        [src_row, roll, upshift, c, full_rows, dst_row], axis=-1
-    ).reshape(-1, 6)
-    meta = jnp.concatenate(
-        [fields, jnp.zeros((fields.shape[0], META_FIELDS - 6), jnp.int32)],
-        axis=-1,
-    )
-    return meta.astype(jnp.int32), overflow
+    src = (tile_base[None, :] + loff).reshape(-1)
+    total = jnp.full((1,), num_tiles * tile_rows * LANES, jnp.int32)
+    off_ext = jnp.concatenate([off.reshape(-1), total])
+    return off_ext.astype(jnp.int32), src.astype(jnp.int32), overflow
 
 
 def _window_kernel(
-    meta_ref, bk_hbm, bi_hbm, ok_hbm, oi_hbm,
+    off_ref, src_ref, bk_hbm, bi_hbm, ok_hbm, oi_hbm,
     wk, wi, mk, mi, ck, ci, in_sem, out_sem, *, window_rows,
 ):
     """One step = one (digit, tile) run through the streaming frontier."""
     r_w = window_rows + 2
-    src_row = meta_ref[0, _SRC_ROW]
-    roll = meta_ref[0, _ROLL]
-    upshift = meta_ref[0, _UPSHIFT]
-    c = meta_ref[0, _CARRY_FILL]
-    full_rows = meta_ref[0, _FULL_ROWS]
-    dst_row = meta_ref[0, _DST_ROW]
-
     step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    off = off_ref[step]
+    src = src_ref[step]
+    # Consecutive steps abut in the global output (digit-major then
+    # tile-major), so the run length is the offset delta.
+    cnt = off_ref[step + 1] - off
+    src_row = src // LANES
+    p = src % LANES
+    c = off % LANES
+    dst_row = off // LANES
+    # Clamped so a skew-overflow run still stays in bounds (output is then
+    # garbage; the caller checks the overflow flag and falls back).
+    full_rows = jnp.minimum((off + cnt) // LANES - dst_row, r_w - 1)
+    d = c - p
+    roll = jnp.where(d < 0, d + LANES, d)
+    upshift = (d < 0).astype(jnp.int32)
 
     @pl.when(step == 0)
     def _():
@@ -217,7 +209,7 @@ def scatter_runs(
     """
     radix = cfg.radix
     num_tiles = hist.shape[0]
-    meta, overflow = plan_windows(
+    off_ext, src, overflow = plan_windows(
         hist, offsets, cfg.tile_rows, radix, window_rows)
     impl = impl or kernel_impl()
     if impl == "reference":
@@ -233,41 +225,38 @@ def scatter_runs(
     bi_p = jnp.concatenate([bi2d, slack.astype(bi2d.dtype)], axis=0)
 
     kernel = functools.partial(_window_kernel, window_rows=window_rows)
-    grid = (radix, num_tiles)
     ok, oi = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, META_FIELDS),
-                lambda r, t: (r * num_tiles + t, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(radix, num_tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((r_w, LANES), bk2d.dtype),
+                pltpu.VMEM((r_w, LANES), bi2d.dtype),
+                pltpu.VMEM((r_w, LANES), bk2d.dtype),
+                pltpu.VMEM((r_w, LANES), bi2d.dtype),
+                pltpu.VMEM((1, LANES), bk2d.dtype),
+                pltpu.VMEM((1, LANES), bi2d.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), bk2d.dtype),
             jax.ShapeDtypeStruct((rows, LANES), bi2d.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((r_w, LANES), bk2d.dtype),
-            pltpu.VMEM((r_w, LANES), bi2d.dtype),
-            pltpu.VMEM((r_w, LANES), bk2d.dtype),
-            pltpu.VMEM((r_w, LANES), bi2d.dtype),
-            pltpu.VMEM((1, LANES), bk2d.dtype),
-            pltpu.VMEM((1, LANES), bi2d.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             has_side_effects=True,
         ),
         interpret=impl == "interpret",
-    )(meta, bk_p, bi_p)
+    )(off_ext, src, bk_p, bi_p)
     return ok, oi, overflow

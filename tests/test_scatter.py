@@ -57,26 +57,24 @@ class TestPlanWindows:
         hist[1, :4] = [0, 1024, 0, 0]
         hist_j = jnp.asarray(hist)
         offsets = rk.global_offsets(hist_j)
-        meta, overflow = sck.plan_windows(
+        off_ext, src, overflow = sck.plan_windows(
             hist_j, offsets, cfg.tile_rows, 4, window_rows=8
         )
-        meta = np.asarray(meta)
+        off_ext, src = np.asarray(off_ext), np.asarray(src)
         assert not bool(overflow)
         # Step order is (r-outer, t-inner): g = r*T + t, T=2.
-        # bucket 0: tile0 run starts at global 0, local 0.
-        g = 0
-        assert meta[g, sck._SRC_ROW] == 0
-        assert meta[g, sck._DST_ROW] == 0
-        assert meta[g, sck._CARRY_FILL] == 0
-        # bucket 1 / tile 1: global off = 100 (b0 total) + 500 (b1 tile0).
+        assert off_ext[0] == 0 and src[0] == 0
+        # bucket 1 / tile 1: global off = 100 (b0 total) + 500 (b1 tile0);
+        # src = tile_base + local_off = 1024 + 0.
         g = 1 * 2 + 1
-        assert meta[g, sck._DST_ROW] == 600 // 128
-        assert meta[g, sck._CARRY_FILL] == 600 % 128
-        # src = tile_base + local_off = 1024 + 0
-        assert meta[g, sck._SRC_ROW] == 1024 // 128
-        # Full-rows telescoping: total rows written == all rows.
-        total_rows = meta[:, sck._FULL_ROWS].sum()
-        assert total_rows == hist.sum() // 128
+        assert off_ext[g] == 600
+        assert src[g] == 1024
+        # The offsets must telescope: deltas are exactly the per-step run
+        # counts in (r-outer, t-inner) order, ending at the array size.
+        assert off_ext[-1] == hist.sum()
+        np.testing.assert_array_equal(
+            np.diff(off_ext), hist[:, :4].T.reshape(-1)
+        )
 
     def test_overflow_flag(self):
         cfg = EngineConfig()
@@ -84,7 +82,7 @@ class TestPlanWindows:
         hist[0, 3] = cfg.tile  # one run of a whole tile
         hist_j = jnp.asarray(hist)
         offsets = rk.global_offsets(hist_j)
-        _, overflow = sck.plan_windows(
+        _, _, overflow = sck.plan_windows(
             hist_j, offsets, cfg.tile_rows, cfg.radix, window_rows=2
         )
         assert bool(overflow)
