@@ -2,11 +2,14 @@
 
 No reference equivalent (the reference only sorts) — but the TPU-native
 design is the reference's own primitives recomposed: stable sort brings equal
-keys together, the boundary mask between key runs is "the extracted bit", an
-inclusive scan of values turns group sums into differences at run ends, and
-the stable compaction pass collects one row per group.  Sort + scan + compact
-— no hash table, no random scatter: on TPU a sorted-aggregation is the
-bandwidth-optimal plan, serving the role a hash aggregate serves on CPU/GPU.
+keys together, the boundary mask between key runs is "the extracted bit", a
+*segmented* prefix combine (resetting at run starts) leaves each group's
+aggregate at its run end, and the stable compaction pass collects one row per
+group.  Sort + scan + compact — no hash table, no random scatter: on TPU a
+sorted-aggregation is the bandwidth-optimal plan, serving the role a hash
+aggregate serves on CPU/GPU.  Aggregates are segment-local: integer sums wrap
+exactly like the payload dtype (numpy semantics) and float sums never touch a
+global accumulator.
 
 Aggregation kinds: sum, count, min, max, mean.
 """
@@ -59,45 +62,47 @@ def group_by_aggregate(
     nxt = jnp.concatenate([keys[1:], keys[-1:] ^ jnp.uint32(1)])
     is_last = ((keys != nxt) | (pos == padded - 1)) & live
 
-    # Exclusive sums-at-previous-boundary via cumulative sums evaluated at
-    # run ends; the subtraction of the previous run's cumsum happens after
-    # compaction, where groups are adjacent.
-    out_cols: dict[str, jax.Array] = {key: keys}
+    # Segment-local running aggregates: an associative prefix combine over
+    # (value, segment-start) pairs that RESETS at run starts, so the value at
+    # a run end is the aggregate of exactly that group — never a difference
+    # of global accumulators (which is exact only modulo the dtype for ints
+    # and catastrophically lossy for floats at scale).
+    def segmented(v, op, neutral):
+        vv = jnp.where(live, v, jnp.full_like(v, neutral))
+
+        def combine(a, b):
+            av, af = a
+            bv, bf = b
+            return (jnp.where(bf, bv, op(av, bv)), af | bf)
+
+        seg, _ = jax.lax.associative_scan(combine, (vv, is_first))
+        return seg
+
+    def neutral_for(kind, dtype):
+        if kind in ("sum", "mean", "count"):
+            return jnp.zeros((), dtype)
+        if jnp.issubdtype(dtype, jnp.integer):
+            info = jnp.iinfo(dtype)
+            return info.max if kind == "min" else info.min
+        return jnp.inf if kind == "min" else -jnp.inf
+
+    running: dict[str, jax.Array] = {key: keys}
+    need_counts = any(kind == "mean" for _, kind in aggs.values())
     for out_name, (col, kind) in aggs.items():
         if kind == "count":
-            out_cols[out_name] = jnp.where(live, 1, 0).astype(jnp.int32)
+            v = jnp.ones((padded,), jnp.int32)
         else:
-            out_cols[out_name] = ordered[col].data
-
-    # Build per-row running values so that (value at my run end) - (value at
-    # previous run end) is the group aggregate.
-    running: dict[str, jax.Array] = {key: keys}
-    for out_name, (col, kind) in aggs.items():
-        v = out_cols[out_name]
-        if kind in ("sum", "mean", "count"):
-            running[out_name] = jnp.cumsum(
-                jnp.where(live, v, jnp.zeros_like(v)), dtype=jnp.int64
-                if jnp.issubdtype(v.dtype, jnp.integer) and jax.config.x64_enabled
-                else None
-            )
-        elif kind in ("min", "max"):
-            # Segmented running min/max: reset at run starts via a prefix
-            # combine over (value, segment-start) pairs.
-            neutral = (
-                jnp.iinfo(v.dtype).max if kind == "min" else jnp.iinfo(v.dtype).min
-            ) if jnp.issubdtype(v.dtype, jnp.integer) else (
-                jnp.inf if kind == "min" else -jnp.inf
-            )
-            vv = jnp.where(live, v, jnp.full_like(v, neutral))
-            op = jnp.minimum if kind == "min" else jnp.maximum
-
-            def combine(a, b, op=op):
-                av, af = a
-                bv, bf = b
-                return (jnp.where(bf, bv, op(av, bv)), af | bf)
-
-            seg, _ = jax.lax.associative_scan(combine, (vv, is_first))
-            running[out_name] = seg
+            v = ordered[col].data
+        if kind == "mean":
+            # Mean is a float aggregate: accumulate in float32 so integer
+            # payloads don't wrap on the way to the division.
+            v = v.astype(jnp.float32)
+        op = {"min": jnp.minimum, "max": jnp.maximum}.get(kind, jnp.add)
+        running[out_name] = segmented(v, op, neutral_for(kind, v.dtype))
+    if need_counts:
+        running["__count"] = segmented(
+            jnp.ones((padded,), jnp.int32), jnp.add, jnp.int32(0)
+        )
 
     # Compact run-end rows to the front (one binary counting-sort pass).
     names = list(running.keys())
@@ -107,29 +112,18 @@ def group_by_aggregate(
     )
     comp = dict(zip(names, compacted))
 
-    # Also need, per compacted group g, the run-end position (for counts) and
-    # the previous group's cumsums; compact positions alongside.
-    (positions,), _ = _compact_by_mask(
-        is_last.astype(jnp.int32), [pos], cfg, None
-    )
-
     result: dict[str, Column] = {key: Column(comp[key], n)}
     gidx = jnp.arange(padded, dtype=jnp.int32)
     valid_group = gidx < count
-
-    def prev_of(arr):
-        z = jnp.zeros((1,), arr.dtype)
-        return jnp.concatenate([z, arr[:-1]])
-
-    counts = jnp.where(valid_group, positions + 1 - prev_of(positions + 1), 0)
     for out_name, (col, kind) in aggs.items():
         c = comp[out_name]
-        if kind in ("sum", "count"):
-            vals = c - prev_of(c)
-        elif kind == "mean":
-            vals = (c - prev_of(c)) / jnp.maximum(counts, 1).astype(jnp.float32)
-        else:  # min/max: the segmented running value at the run end IS the
-            # group aggregate (it reset at the run start).
+        if kind == "mean":
+            # float32 division; integer sums are exact until they exceed the
+            # payload dtype (wrap semantics match numpy's).
+            vals = c.astype(jnp.float32) / jnp.maximum(
+                comp["__count"], 1
+            ).astype(jnp.float32)
+        else:
             vals = c
         vals = jnp.where(valid_group, vals, jnp.zeros_like(vals))
         result[out_name] = Column(vals, n)

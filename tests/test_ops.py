@@ -125,3 +125,61 @@ def test_filter_then_sort_pipeline(rng):
     out = sort_table(sel.to_table(), "key", CFG)
     expect = np.sort(keys[keys % 2 == 0])
     np.testing.assert_array_equal(out["key"].to_numpy(), expect)
+
+
+class TestAggregateNumerics:
+    """Adversarial aggregation numerics (segment-local, not global-cumsum)."""
+
+    def test_int32_wraparound_magnitudes(self, rng):
+        n = 100_000
+        keys = rng.integers(0, 50, n, dtype=np.uint32)
+        vals = rng.integers(-(2**31), 2**31 - 1, n).astype(np.int32)
+        tbl = table_from_arrays(CFG, k=keys, v=vals)
+        tbl = tbl.with_column("k", make_key_column(keys, CFG))
+        sel = group_by_aggregate(tbl, "k", {"s": ("v", "sum")}, CFG)
+        out = sel.to_table()
+        uniq = np.unique(keys)
+        # numpy int32 wrap semantics == segment-local int32 sums.
+        want = np.array(
+            [vals[keys == g].sum(dtype=np.int32) for g in uniq], np.int32
+        )
+        np.testing.assert_array_equal(out["k"].to_numpy(), uniq)
+        np.testing.assert_array_equal(out["s"].to_numpy(), want)
+
+    def test_float32_precision_large_n(self, rng):
+        # A global float32 cumsum over 1M rows loses ~all group precision;
+        # segment-local sums stay within float32 tree-sum error of the
+        # float64 oracle.
+        n = 1_000_000
+        keys = rng.integers(0, 1000, n, dtype=np.uint32)
+        vals = (rng.random(n).astype(np.float32) * 1e6).astype(np.float32)
+        tbl = table_from_arrays(CFG, k=keys, v=vals)
+        tbl = tbl.with_column("k", make_key_column(keys, CFG))
+        sel = group_by_aggregate(
+            tbl, "k", {"s": ("v", "sum"), "m": ("v", "mean")}, CFG
+        )
+        out = sel.to_table()
+        uniq = np.unique(keys)
+        want = np.array([vals[keys == g].sum(dtype=np.float64) for g in uniq])
+        got = out["s"].to_numpy().astype(np.float64)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        want_m = np.array(
+            [vals[keys == g].mean(dtype=np.float64) for g in uniq]
+        )
+        np.testing.assert_allclose(
+            out["m"].to_numpy().astype(np.float64), want_m, rtol=1e-5
+        )
+
+    def test_mean_of_large_ints(self, rng):
+        n = 10_000
+        keys = rng.integers(0, 8, n, dtype=np.uint32)
+        vals = rng.integers(0, 2**30, n).astype(np.int32)
+        tbl = table_from_arrays(CFG, k=keys, v=vals)
+        tbl = tbl.with_column("k", make_key_column(keys, CFG))
+        sel = group_by_aggregate(tbl, "k", {"m": ("v", "mean")}, CFG)
+        out = sel.to_table()
+        uniq = np.unique(keys)
+        want = np.array([vals[keys == g].mean() for g in uniq])
+        np.testing.assert_allclose(
+            out["m"].to_numpy().astype(np.float64), want, rtol=1e-4
+        )
