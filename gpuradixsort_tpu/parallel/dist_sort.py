@@ -58,6 +58,52 @@ def _local_sort(keys, idx, cfg: EngineConfig, method: str):
     return k, i
 
 
+def _merge_pair(ak, ai, bk, bi):
+    """Stably merge two sorted (key, idx) runs; a precedes b on ties.
+
+    Classic searchsorted merge: a[i] lands at i + #{b < a[i]} and b[j] at
+    j + #{a <= b[j]} — disjoint positions covering 0..2L-1, so two unique
+    scatters realize the merge in O(n log n) compares instead of a full
+    O(n log^2 n) re-sort of the concatenation.
+    """
+    length = ak.shape[0]
+    pos_a = jnp.arange(length, dtype=jnp.int32) + jnp.searchsorted(
+        bk, ak, side="left"
+    ).astype(jnp.int32)
+    pos_b = jnp.arange(length, dtype=jnp.int32) + jnp.searchsorted(
+        ak, bk, side="right"
+    ).astype(jnp.int32)
+    out_k = jnp.zeros((2 * length,), ak.dtype)
+    out_i = jnp.zeros((2 * length,), ai.dtype)
+    out_k = out_k.at[pos_a].set(ak, unique_indices=True).at[pos_b].set(
+        bk, unique_indices=True)
+    out_i = out_i.at[pos_a].set(ai, unique_indices=True).at[pos_b].set(
+        bi, unique_indices=True)
+    return out_k, out_i
+
+
+def _merge_runs(keys2d, idx2d):
+    """Merge P sorted equal-length runs ((P, L) -> flat) in log2(P) levels.
+
+    The reference's scan-of-group-sums combines per-group partials in one
+    extra level (``ParallelPrefixScan.comp:151-196``); this is the sort-side
+    analog: received per-source runs are already sorted, so only the merge
+    tree remains.  Pad tails (key 0xFFFFFFFF) may interleave with real
+    max-keys of later sources; the caller's pad compaction repairs that.
+    """
+    p = keys2d.shape[0]
+    if p & (p - 1):
+        raise ValueError(f"merge tree needs power-of-two runs, got {p}")
+    while p > 1:
+        k_pairs = keys2d.reshape(p // 2, 2, -1)
+        i_pairs = idx2d.reshape(p // 2, 2, -1)
+        keys2d, idx2d = jax.vmap(
+            lambda kp, ip: _merge_pair(kp[0], ip[0], kp[1], ip[1])
+        )(k_pairs, i_pairs)
+        p //= 2
+    return keys2d.reshape(-1), idx2d.reshape(-1)
+
+
 def _shard_fn(
     keys: jax.Array,
     n_live: jax.Array,
@@ -156,10 +202,19 @@ def _shard_fn(
     count = jnp.sum(recv_counts).astype(jnp.int32)
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), ROW_AXIS) > 0
 
-    # 7. Local stable merge of the received runs (pads sort to the back).
-    flat_keys = recv_keys.reshape(-1)
-    flat_idx = recv_idx.reshape(-1)
-    mkeys, midx = _local_sort(flat_keys, flat_idx, cfg, method)
+    # 7. Local stable P-way merge of the received runs: each source block is
+    #    a slice of a sorted run, and blocks arrive source-major, so a merge
+    #    tree (not a re-sort) combines them.  Non-power-of-two meshes fall
+    #    back to the re-sort.
+    if num_shards & (num_shards - 1) == 0:
+        mkeys, midx = _merge_runs(
+            recv_keys.reshape(num_shards, capacity),
+            recv_idx.reshape(num_shards, capacity),
+        )
+    else:
+        mkeys, midx = _local_sort(
+            recv_keys.reshape(-1), recv_idx.reshape(-1), cfg, method
+        )
     # 8. Repair the 0xFFFFFFFF tail: real max-keys before pad sentinels.
     (mkeys, midx), _ = _compact_by_mask(
         (midx != PAD_INDEX).astype(jnp.int32), [mkeys, midx], cfg, None
@@ -203,9 +258,6 @@ def _dist_sort_padded(
         mesh=mesh,
         in_specs=(P(ROW_AXIS), P()),
         out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P()),
-        # Pallas calls inside the body don't carry varying-mesh-axis
-        # annotations; replication of the overflow flag is enforced by pmax.
-        check_vma=False,
     )(keys, n_live)
     num = num_shards
     return (
@@ -224,12 +276,19 @@ def dist_sort_pairs(
     cap_factor: float = 2.0,
     method: str = "auto",
     n_live: int | None = None,
+    auto_retry: bool = True,
 ) -> ShardedSort:
     """Distributed stable sort of (key, original-index) pairs over a mesh.
 
     ``keys``: (n,) uint32, n divisible by num_shards * cfg.block (pad with
     PAD_KEY via core.table.pad_to_tile to arrange this).  Returns per-shard
     sorted runs; ``gather_sorted`` assembles the global result on host.
+
+    Skew recovery: on capacity overflow the exchange is retried with a
+    doubled ``cap_factor`` (up to full-gather capacity, at which point any
+    distribution fits — an all-equal keyset lands on one shard and still
+    succeeds untuned).  Pass ``auto_retry=False`` to surface the first
+    overflow instead.
     """
     cfg = cfg or EngineConfig()
     if method == "auto":
@@ -245,9 +304,18 @@ def dist_sort_pairs(
         raise ValueError("bucket_bits must be in [1, 20]")
     if n_live is None:
         n_live = n
-    mkeys, midx, counts, overflow = _dist_sort_padded(
-        keys, jnp.uint32(n_live), mesh, cfg, bucket_bits, cap_factor, method
-    )
+    n_local = n // num_shards
+    while True:
+        mkeys, midx, counts, overflow = _dist_sort_padded(
+            keys, jnp.uint32(n_live), mesh, cfg, bucket_bits, cap_factor,
+            method,
+        )
+        capacity_full = int(cap_factor) >= num_shards or round_up(
+            max(1, int(n_local * cap_factor) // num_shards), cfg.block
+        ) >= n_local
+        if not auto_retry or not bool(overflow) or capacity_full:
+            break
+        cap_factor *= 2.0
     return ShardedSort(mkeys, midx, counts, overflow)
 
 

@@ -82,11 +82,12 @@ def test_dist_sort_skewed(rng):
 
 def test_dist_sort_overflow_flag():
     # All keys identical: one bucket = the whole dataset; with slack < P the
-    # receiving shard must overflow and say so.
+    # receiving shard overflows and must say so when auto-retry is off.
     keys = np.full(40_000, 12345, dtype=np.uint32)
     mesh = make_row_mesh(4)
     res = dist_sort_pairs(
-        _pad_for_mesh(keys, 4), mesh, CFG, cap_factor=1.5, n_live=len(keys)
+        _pad_for_mesh(keys, 4), mesh, CFG, cap_factor=1.5, n_live=len(keys),
+        auto_retry=False,
     )
     assert bool(res.overflow)
     with pytest.raises(RuntimeError, match="overflow"):
@@ -98,6 +99,23 @@ def test_dist_sort_overflow_flag():
     assert not bool(res2.overflow)
     out_keys, _ = gather_sorted(res2)
     np.testing.assert_array_equal(out_keys[: len(keys)], np.sort(keys))
+
+
+def test_dist_sort_all_equal_untuned():
+    # Auto-retry doubles cap_factor until the worst case fits: an all-equal
+    # keyset succeeds with default parameters.
+    keys = np.full(40_000, 7, dtype=np.uint32)
+    mesh = make_row_mesh(4)
+    res = dist_sort_pairs(
+        _pad_for_mesh(keys, 4), mesh, CFG, n_live=len(keys)
+    )
+    assert not bool(res.overflow)
+    out_keys, out_idx = gather_sorted(res)
+    np.testing.assert_array_equal(out_keys[: len(keys)], keys)
+    # Stability: the all-equal permutation must be the identity.
+    np.testing.assert_array_equal(
+        out_idx[: len(keys)], np.arange(len(keys), dtype=np.uint32)
+    )
 
 
 def test_dist_matches_single_chip(rng):
