@@ -183,3 +183,83 @@ class TestAggregateNumerics:
         np.testing.assert_allclose(
             out["m"].to_numpy().astype(np.float64), want, rtol=1e-4
         )
+
+
+class TestJoinExpand:
+    """One-to-many join via run expansion (duplicate build keys)."""
+
+    def _oracle(self, pk, pv, bk, bv):
+        # All (probe, build) matches ordered by probe row, then by build
+        # position in the key-sorted build side.
+        order = np.argsort(bk, kind="stable")
+        bk_s, bv_s = bk[order], bv[order]
+        rows = []
+        for i in range(len(pk)):
+            lo = np.searchsorted(bk_s, pk[i], side="left")
+            hi = np.searchsorted(bk_s, pk[i], side="right")
+            for j in range(lo, hi):
+                rows.append((pk[i], pv[i], bv_s[j]))
+        return rows
+
+    def test_duplicates_and_misses(self, rng):
+        from gpuradixsort_tpu.ops.join import join_expand
+
+        n_p, n_b = 500, 300
+        pk = rng.integers(0, 50, n_p, dtype=np.uint32)
+        bk = rng.integers(0, 50, n_b, dtype=np.uint32)  # heavy duplicates
+        pv = rng.integers(0, 2**31, n_p).astype(np.int32)
+        bv = rng.integers(0, 2**31, n_b).astype(np.int32)
+        probe = table_from_arrays(CFG, k=pk, pv=pv)
+        probe = probe.with_column("k", make_key_column(pk, CFG))
+        build = table_from_arrays(CFG, k=bk, bv=bv)
+        build = build.with_column("k", make_key_column(bk, CFG))
+
+        want = self._oracle(pk, pv, bk, bv)
+        res = join_expand(probe, build, "k", CFG, capacity=len(want) + 100)
+        assert not bool(res.overflow)
+        assert int(res.count) == len(want)
+        out = res.to_table()
+        got = list(
+            zip(
+                out["k"].to_numpy().tolist(),
+                out["pv"].to_numpy().tolist(),
+                out["build_bv"].to_numpy().tolist(),
+            )
+        )
+        assert got == [(int(a), int(b), int(c)) for a, b, c in want]
+
+    def test_overflow_flag(self, rng):
+        from gpuradixsort_tpu.ops.join import join_expand
+
+        n = 200
+        pk = np.full(n, 7, dtype=np.uint32)
+        bk = np.full(n, 7, dtype=np.uint32)  # n*n matches
+        probe = table_from_arrays(CFG, k=pk)
+        probe = probe.with_column("k", make_key_column(pk, CFG))
+        build = table_from_arrays(CFG, k=bk)
+        build = build.with_column("k", make_key_column(bk, CFG))
+        res = join_expand(probe, build, "k", CFG, capacity=1000)
+        assert bool(res.overflow)
+        assert int(res.count) == n * n
+        with pytest.raises(RuntimeError, match="capacity"):
+            res.to_table()
+
+    def test_unique_build_matches_plain_join(self, rng):
+        from gpuradixsort_tpu.ops.join import join_expand
+
+        n_p, n_b = 400, 100
+        bk = rng.permutation(1000)[:n_b].astype(np.uint32)  # unique
+        pk = rng.choice(np.concatenate([bk, np.arange(2000, 2100, dtype=np.uint32)]), n_p)
+        bv = rng.integers(0, 2**31, n_b).astype(np.int32)
+        probe = table_from_arrays(CFG, k=pk.astype(np.uint32))
+        probe = probe.with_column("k", make_key_column(pk.astype(np.uint32), CFG))
+        build = table_from_arrays(CFG, k=bk, bv=bv)
+        build = build.with_column("k", make_key_column(bk, CFG))
+        inner = join(probe, build, "k", how="inner", cfg=CFG).to_table()
+        res = join_expand(probe, build, "k", CFG).to_table()
+        np.testing.assert_array_equal(
+            res["k"].to_numpy(), inner["k"].to_numpy()
+        )
+        np.testing.assert_array_equal(
+            res["build_bv"].to_numpy(), inner["build_bv"].to_numpy()
+        )
