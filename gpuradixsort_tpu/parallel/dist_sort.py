@@ -37,7 +37,7 @@ from jax.sharding import PartitionSpec as P
 from gpuradixsort_tpu.config import PAD_INDEX, PAD_KEY, EngineConfig
 from gpuradixsort_tpu.core.table import round_up
 from gpuradixsort_tpu.ops.filter import _compact_by_mask
-from gpuradixsort_tpu.ops.sort import _sort_padded, _xla_sort_padded
+from gpuradixsort_tpu.ops.sort import _sort_padded
 from gpuradixsort_tpu.parallel.mesh import ROW_AXIS
 
 
@@ -50,16 +50,8 @@ class ShardedSort(NamedTuple):
     overflow: jax.Array  # () bool — capacity exceeded, retry with more slack
 
 
-def _local_sort(keys, idx, cfg: EngineConfig, method: str):
-    if method == "radix":
-        k, (i,) = _sort_padded(keys, (idx,), cfg, None, 1)
-    else:
-        k, (i,) = _xla_sort_padded(keys, (idx,))
-    return k, i
-
-
-def _merge_pair(ak, ai, bk, bi):
-    """Stably merge two sorted (key, idx) runs; a precedes b on ties.
+def _merge_pair(ak, bk, a_payloads, b_payloads):
+    """Stably merge two sorted key runs (+ payloads); a precedes b on ties.
 
     Classic searchsorted merge: a[i] lands at i + #{b < a[i]} and b[j] at
     j + #{a <= b[j]} — disjoint positions covering 0..2L-1, so two unique
@@ -73,16 +65,18 @@ def _merge_pair(ak, ai, bk, bi):
     pos_b = jnp.arange(length, dtype=jnp.int32) + jnp.searchsorted(
         ak, bk, side="right"
     ).astype(jnp.int32)
-    out_k = jnp.zeros((2 * length,), ak.dtype)
-    out_i = jnp.zeros((2 * length,), ai.dtype)
-    out_k = out_k.at[pos_a].set(ak, unique_indices=True).at[pos_b].set(
-        bk, unique_indices=True)
-    out_i = out_i.at[pos_a].set(ai, unique_indices=True).at[pos_b].set(
-        bi, unique_indices=True)
-    return out_k, out_i
+
+    def place(a, b):
+        out = jnp.zeros((2 * length,), a.dtype)
+        return out.at[pos_a].set(a, unique_indices=True).at[pos_b].set(
+            b, unique_indices=True)
+
+    return place(ak, bk), tuple(
+        place(a, b) for a, b in zip(a_payloads, b_payloads)
+    )
 
 
-def _merge_runs(keys2d, idx2d):
+def _merge_runs(keys2d, payloads2d: tuple):
     """Merge P sorted equal-length runs ((P, L) -> flat) in log2(P) levels.
 
     The reference's scan-of-group-sums combines per-group partials in one
@@ -96,16 +90,19 @@ def _merge_runs(keys2d, idx2d):
         raise ValueError(f"merge tree needs power-of-two runs, got {p}")
     while p > 1:
         k_pairs = keys2d.reshape(p // 2, 2, -1)
-        i_pairs = idx2d.reshape(p // 2, 2, -1)
-        keys2d, idx2d = jax.vmap(
-            lambda kp, ip: _merge_pair(kp[0], ip[0], kp[1], ip[1])
-        )(k_pairs, i_pairs)
+        p_pairs = tuple(x.reshape(p // 2, 2, -1) for x in payloads2d)
+        keys2d, payloads2d = jax.vmap(
+            lambda kp, *pp: _merge_pair(
+                kp[0], kp[1], tuple(x[0] for x in pp), tuple(x[1] for x in pp)
+            )
+        )(k_pairs, *p_pairs)
         p //= 2
-    return keys2d.reshape(-1), idx2d.reshape(-1)
+    return keys2d.reshape(-1), tuple(x.reshape(-1) for x in payloads2d)
 
 
-def _shard_fn(
+def _shard_exchange_sorted(
     keys: jax.Array,
+    extras: tuple,
     n_live: jax.Array,
     cfg: EngineConfig,
     num_shards: int,
@@ -113,7 +110,14 @@ def _shard_fn(
     bucket_bits: int,
     method: str,
 ):
-    """Per-shard body (runs under shard_map over the "x" axis)."""
+    """Per-shard exchange core (runs under shard_map over the "x" axis).
+
+    Locally sort (key, global-index, *extras), range-partition by observed
+    key range, ``all_to_all``-exchange, and merge the received runs.  Returns
+    ``(mkeys, midx, merged_extras, count, overflow)`` — per-shard key-sorted
+    rows with live count; pad sentinels may interleave with real 0xFFFFFFFF
+    keys (callers repair via the PAD_INDEX compaction).
+    """
     n_local = keys.shape[0]
     shard = jax.lax.axis_index(ROW_AXIS)
     gidx = (
@@ -128,8 +132,15 @@ def _shard_fn(
     pad_count = jnp.sum((gidx >= n_live).astype(jnp.int32))
     live_local = jnp.int32(n_local) - pad_count
 
-    # 1. Chip-local stable sort of (key, original-global-index).
-    skeys, sidx = _local_sort(keys, gidx, cfg, method)
+    # 1. Chip-local stable sort of (key, original-global-index, extras).
+    if method == "radix":
+        skeys, (sidx, *sextras) = _sort_padded(
+            keys, (gidx, *extras), cfg, None, 1 + len(extras)
+        )
+    else:
+        skeys, sidx, *sextras = jax.lax.sort(
+            (keys, gidx, *extras), num_keys=1, is_stable=True
+        )
 
     # 2. Global bucket histogram, range-adaptive: buckets split the observed
     #    global [kmin, kmax] live-key range evenly, not the raw uint32 space
@@ -146,10 +157,12 @@ def _shard_fn(
     span = kmax - jnp.minimum(kmin, kmax)
     width = span // jnp.uint32(num_buckets) + jnp.uint32(1)
     # Live keys are all >= kmin and pads are 0xFFFFFFFF >= kmin, so the
-    # subtraction never wraps.
-    sbuckets = jnp.clip(
-        ((skeys - kmin) // width).astype(jnp.int32), 0, num_buckets - 1
-    )
+    # subtraction never wraps.  Clamp in uint32 BEFORE the int32 cast: with a
+    # narrow key range the pad keys' bucket id exceeds int32 and would wrap
+    # negative, silently landing pads (and the last shard's rows) in bucket 0.
+    sbuckets = jnp.minimum(
+        (skeys - kmin) // width, jnp.uint32(num_buckets - 1)
+    ).astype(jnp.int32)
     edges = jnp.arange(num_buckets + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(sbuckets, edges, side="left").astype(jnp.int32)
     local_hist = bounds[1:] - bounds[:-1]
@@ -180,25 +193,26 @@ def _shard_fn(
 
     # 5. Pack fixed-capacity send blocks (gather with tail masking).
     col = jnp.arange(capacity, dtype=jnp.int32)
-    src = lo[:, None] + col[None, :]
+    src = jnp.clip(lo[:, None] + col[None, :], 0, n_local - 1)
     valid = col[None, :] < send_counts[:, None]
-    send_keys = jnp.where(
-        valid, jnp.take(skeys, jnp.clip(src, 0, n_local - 1)), PAD_KEY
-    )
-    send_idx = jnp.where(
-        valid, jnp.take(sidx, jnp.clip(src, 0, n_local - 1)), PAD_INDEX
-    )
+
+    def pack(arr, fill):
+        return jnp.where(valid, jnp.take(arr, src), fill)
+
+    send_keys = pack(skeys, PAD_KEY)
+    send_idx = pack(sidx, PAD_INDEX)
+    send_extras = tuple(pack(x, jnp.zeros((), x.dtype)) for x in sextras)
 
     # 6. Exchange over ICI.  tiled all_to_all keeps source-major order.
-    recv_keys = jax.lax.all_to_all(
-        send_keys, ROW_AXIS, split_axis=0, concat_axis=0, tiled=True
-    )
-    recv_idx = jax.lax.all_to_all(
-        send_idx, ROW_AXIS, split_axis=0, concat_axis=0, tiled=True
-    )
-    recv_counts = jax.lax.all_to_all(
-        send_counts, ROW_AXIS, split_axis=0, concat_axis=0, tiled=True
-    )
+    def exchange(x):
+        return jax.lax.all_to_all(
+            x, ROW_AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+
+    recv_keys = exchange(send_keys)
+    recv_idx = exchange(send_idx)
+    recv_extras = tuple(exchange(x) for x in send_extras)
+    recv_counts = exchange(send_counts)
     count = jnp.sum(recv_counts).astype(jnp.int32)
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), ROW_AXIS) > 0
 
@@ -207,15 +221,40 @@ def _shard_fn(
     #    tree (not a re-sort) combines them.  Non-power-of-two meshes fall
     #    back to the re-sort.
     if num_shards & (num_shards - 1) == 0:
-        mkeys, midx = _merge_runs(
+        mkeys, (midx, *mextras) = _merge_runs(
             recv_keys.reshape(num_shards, capacity),
-            recv_idx.reshape(num_shards, capacity),
+            tuple(
+                x.reshape(num_shards, capacity)
+                for x in (recv_idx, *recv_extras)
+            ),
         )
     else:
-        mkeys, midx = _local_sort(
-            recv_keys.reshape(-1), recv_idx.reshape(-1), cfg, method
-        )
-    # 8. Repair the 0xFFFFFFFF tail: real max-keys before pad sentinels.
+        flat = tuple(x.reshape(-1) for x in (recv_idx, *recv_extras))
+        if method == "radix":
+            mkeys, (midx, *mextras) = _sort_padded(
+                recv_keys.reshape(-1), flat, cfg, None, len(flat)
+            )
+        else:
+            mkeys, midx, *mextras = jax.lax.sort(
+                (recv_keys.reshape(-1), *flat), num_keys=1, is_stable=True
+            )
+    return mkeys, midx, tuple(mextras), count, overflow
+
+
+def _shard_fn(
+    keys: jax.Array,
+    n_live: jax.Array,
+    cfg: EngineConfig,
+    num_shards: int,
+    capacity: int,
+    bucket_bits: int,
+    method: str,
+):
+    """Per-shard distributed-sort body: exchange + pad repair."""
+    mkeys, midx, _, count, overflow = _shard_exchange_sorted(
+        keys, (), n_live, cfg, num_shards, capacity, bucket_bits, method
+    )
+    # Repair the 0xFFFFFFFF tail: real max-keys before pad sentinels.
     (mkeys, midx), _ = _compact_by_mask(
         (midx != PAD_INDEX).astype(jnp.int32), [mkeys, midx], cfg, None
     )

@@ -129,3 +129,12 @@ def test_dist_matches_single_chip(rng):
         dist_sort_pairs(_pad_for_mesh(keys, 8), mesh, CFG, n_live=len(keys))
     )
     np.testing.assert_array_equal(out_keys[: len(keys)], single)
+
+
+def test_dist_sort_narrow_key_range(rng):
+    # Regression: with a narrow observed key range the pad keys' bucket id
+    # exceeded int32 and wrapped to bucket 0, scrambling the partition
+    # (fixed by clamping in uint32 before the cast).
+    keys = rng.integers(0, 5, size=40_000, dtype=np.uint32)
+    _check(keys, 4)
+    _check(keys, 8)
