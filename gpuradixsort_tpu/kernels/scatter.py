@@ -121,10 +121,13 @@ def _window_kernel(
     def align(buf):
         # Flat-roll the window so run element j lands at flat slot c + j:
         # dynamic lane roll + sublane carry select, then an optional one-row
-        # up-shift when the roll wrapped the start into row 1.
+        # up-shift when the roll wrapped the start into row 1.  The up-shift
+        # is a select between two STATIC sublane rolls — Mosaic's dynamic
+        # sublane rotate requires 8-aligned sublane counts, which the
+        # (window_rows + 2, 128) buffer is not.
         y = pltpu.roll(buf, roll, 1)
         flat = jnp.where(lane >= roll, y, pltpu.roll(y, 1, 0))
-        return pltpu.roll(flat, jnp.where(upshift == 1, r_w - 1, 0), 0)
+        return jnp.where(upshift == 1, pltpu.roll(flat, r_w - 1, 0), flat)
 
     fk = align(wk[:])
     fi = align(wi[:])
