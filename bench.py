@@ -1,12 +1,16 @@
-"""Headline benchmark: 1M-key stable (key,index) sort on one chip.
+"""Benchmark: stable (key, index) radix sort at 1M / 16M / 64M, + payload.
 
 Mirrors the reference's headline workload — 1,048,576 padded uint32
 key+index pairs sorted stably in 6,165 us (~170.1 M keys/s) on a 2017-era
-GPU (``durations.txt:1``, ``Include/ComputeControllers/ParallelSort.h:39``).
+GPU (``durations.txt:1``, ``Include/ComputeControllers/ParallelSort.h:39``)
+— and extends it to BASELINE scale (16M/64M keys) and the 64-byte-payload
+table sort (BASELINE config 2).
 
-Prints ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": "keys/s", "vs_baseline": N/170.1e6}
-Diagnostics (per-method timings, correctness checks) go to stderr.
+Prints ONE JSON line on stdout (the 1M headline).  Diagnostics to stderr:
+per-method timings at every size, correctness verdicts for EVERY method,
+and a per-stage breakdown of the fused pipeline in the reference's
+``durations.txt`` style (``ParallelSort.cpp:358-417``), also written to
+``durations_tpu.txt``.
 
 Timing protocol: chained bijectively-remixed inputs + host readback (see
 utils/timing.py for why block_until_ready alone is not sufficient here).
@@ -21,80 +25,231 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpuradixsort_tpu.config import EngineConfig, PAD_INDEX
+from gpuradixsort_tpu.config import LANES, PAD_INDEX, EngineConfig
 from gpuradixsort_tpu.core.table import pad_to_tile
-from gpuradixsort_tpu.ops.sort import _sort_padded, _xla_sort_padded
-from gpuradixsort_tpu.utils.timing import bench_chain, remix_keys
-from gpuradixsort_tpu.utils.verify import is_sorted
+from gpuradixsort_tpu.kernels import radix as rk
+from gpuradixsort_tpu.kernels.bucketize import bucketize_tiles
+from gpuradixsort_tpu.kernels.scatter import scatter_runs
+from gpuradixsort_tpu.ops.permute import gather_rows
+from gpuradixsort_tpu.ops.sort import (
+    _fused_sort_padded,
+    _sort_padded,
+    _xla_sort_padded,
+)
+from gpuradixsort_tpu.utils.timing import StageTimes, bench_chain, remix_keys
+from gpuradixsort_tpu.utils.verify import device_is_sorted, is_sorted
 
 # Reference baseline: 1,048,576 pairs / 6,165 us (durations.txt:1).
 BASELINE_KEYS_PER_S = 1_048_576 / 6.165e-3
 
-N = 1_000_000
+HEADLINE_N = 1_000_000
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_inputs(n: int, cfg: EngineConfig, rng):
+    keys_np = rng.permutation(n).astype(np.uint32) if n <= (1 << 26) else (
+        rng.integers(0, 2**32, n, dtype=np.uint32)
+    )
+    keys = pad_to_tile(jnp.asarray(keys_np), cfg, jnp.uint32(0xFFFFFFFF))
+    idx = pad_to_tile(jnp.arange(n, dtype=jnp.uint32), cfg, PAD_INDEX)
+    return keys_np, keys, idx
+
+
+def sort_step(method: str, cfg: EngineConfig, idx, k_chain: int):
+    """One jit-able x->x chain of k_chain sorts with an in-chain sorted bit."""
+
+    @jax.jit
+    def step(k):
+        for _ in range(k_chain):
+            if method == "radix":
+                s, (p,) = _sort_padded(k, (idx,), cfg, None, 1)
+            elif method == "fused":
+                s, p, _ = _fused_sort_padded(k, idx, cfg)
+            else:
+                s, (p,) = _xla_sort_padded(k, (idx,))
+            ok = device_is_sorted(s)
+            k = remix_keys(s) ^ (ok.astype(jnp.uint32) - 1)
+        return k
+
+    return step
+
+
+def run_method(method, cfg, keys, idx, n, k_chain, reps) -> float | None:
+    try:
+        dt = bench_chain(
+            sort_step(method, cfg, idx, k_chain), keys, reps=reps, warmup=1
+        ) / k_chain
+        log(
+            f"[bench] n={n:>9} {method:>5}: {dt * 1e3:8.2f} ms/sort "
+            f"({n / dt / 1e6:6.0f} M keys/s)"
+        )
+        return dt
+    except Exception as e:  # pragma: no cover - diagnostic path
+        log(f"[bench] n={n} {method} failed: {type(e).__name__}: {e}")
+        return None
+
+
+def verify_method(method, cfg, keys, idx, keys_np, n) -> bool:
+    """Correctness gate: every benchmarked method, full output checked."""
+    if method == "radix":
+        s, (p,) = _sort_padded(keys, (idx,), cfg, None, 1)
+    elif method == "fused":
+        s, p, _ = _fused_sort_padded(keys, idx, cfg)
+    else:
+        s, (p,) = _xla_sort_padded(keys, (idx,))
+    s_np = np.asarray(s)[:n]
+    ok = is_sorted(s_np) and np.array_equal(s_np, np.sort(keys_np))
+    if not ok:
+        log(f"[bench] VERIFY FAIL n={n} method={method}")
+    return ok
+
+
+def fused_stage_breakdown(cfg: EngineConfig, keys, n, reps=3) -> StageTimes:
+    """durations.txt-style per-stage timing of one fused pass at shift=0.
+
+    Each stage is timed as its own chained jit (stage cost includes one
+    dispatch's fixed overhead on this tunneled device — reported as-is, like
+    the reference's host-side chrono includes driver overhead,
+    ``ParallelSort.cpp:176-188``).
+    """
+    st = StageTimes()
+    k2 = keys.reshape(-1, LANES)
+    i2 = jnp.arange(keys.shape[0], dtype=jnp.uint32).reshape(-1, LANES)
+    hist = rk.tile_histograms(k2, 0, cfg)
+    offsets = rk.global_offsets(hist)
+    bk, bi = bucketize_tiles(k2, i2, 0, cfg)
+
+    def chain(fn, x0, name):
+        try:
+            t = bench_chain(fn, x0, reps=reps, warmup=1)
+            st.add(name, t)
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] stage {name} failed: {e}")
+
+    # Every step is x -> x (bench_chain contract): the stage result is folded
+    # back into the carried state with a cheap xor.
+    chain(
+        jax.jit(
+            lambda k: k ^ jnp.uint32(
+                rk.tile_histograms(k ^ jnp.uint32(1), 0, cfg)[0, 0]
+            )
+        ),
+        k2,
+        "histogram kernel (per pass)",
+    )
+    chain(
+        jax.jit(lambda h: h ^ rk.global_offsets(h ^ 1)[0, 0]),
+        hist,
+        "global offsets (per pass)",
+    )
+    chain(
+        jax.jit(
+            lambda k: bucketize_tiles(k ^ jnp.uint32(1), i2, 0, cfg)[0]
+        ),
+        k2,
+        "bucketize kernel (per pass)",
+    )
+    chain(
+        jax.jit(
+            lambda k: scatter_runs(k ^ jnp.uint32(1), bi, hist, offsets, cfg)[0]
+        ),
+        bk,
+        "window-write scatter (per pass)",
+    )
+    payload = jnp.zeros((k2.size, 16), jnp.int32)
+    src0 = jnp.arange(k2.size, dtype=jnp.int32)
+    chain(
+        jax.jit(
+            lambda s: s ^ gather_rows(payload, s & (k2.size - 1))[:, 0]
+        ),
+        src0,
+        "payload gather 64B rows (once)",
+    )
+    return st
 
 
 def main() -> None:
     cfg = EngineConfig()
     rng = np.random.default_rng(20170101)
-    keys_np = rng.permutation(N).astype(np.uint32)
-    keys = pad_to_tile(jnp.asarray(keys_np), cfg, jnp.uint32(0xFFFFFFFF))
-    idx = pad_to_tile(jnp.arange(N, dtype=jnp.uint32), cfg, PAD_INDEX)
+    backend = jax.default_backend()
+    log(f"[bench] backend={backend} devices={jax.devices()}")
 
-    # K sorts chained per dispatch: amortizes the fixed per-dispatch cost
-    # (remote-tunnel round trip, ~2-3 ms here) the way any pipelined
-    # production workload does, leaving steady-state device throughput —
-    # the analog of the reference timing device work via GL queries rather
-    # than host round trips (ParallelSort.cpp:207-228).
-    K = 8
+    sizes = [HEADLINE_N, 16 << 20, 64 << 20]
+    methods_by_n = {
+        HEADLINE_N: ("xla", "fused", "radix"),
+        16 << 20: ("xla", "fused"),
+        64 << 20: ("xla", "fused"),
+    }
+    if backend != "tpu":
+        sizes = [HEADLINE_N]
+        methods_by_n = {HEADLINE_N: ("xla", "radix")}
 
-    def make_step(method):
-        @jax.jit
-        def step(k):
-            for _ in range(K):
-                if method == "radix":
-                    s, (p,) = _sort_padded(k, (idx,), cfg, None, 1)
-                else:
-                    s, (p,) = _xla_sort_padded(k, (idx,))
-                # correctness signal folded into the chain: sorted?
-                ok = jnp.all(s[1:] >= s[:-1])
-                k = remix_keys(s) ^ (ok.astype(jnp.uint32) - 1)
-            return k
+    results: dict[int, dict[str, float]] = {}
+    for n in sizes:
+        keys_np, keys, idx = make_inputs(n, cfg, rng)
+        k_chain = 8 if n <= HEADLINE_N else (4 if n <= (16 << 20) else 1)
+        reps = 3 if n <= (16 << 20) else 2
+        results[n] = {}
+        for method in methods_by_n[n]:
+            dt = run_method(method, cfg, keys, idx, n, k_chain, reps)
+            if dt is not None and verify_method(
+                method, cfg, keys, idx, keys_np, n
+            ):
+                results[n][method] = dt
 
-        return step
+    # Per-stage breakdown of the fused pipeline at the headline size.
+    if backend == "tpu":
+        _, keys, _ = make_inputs(HEADLINE_N, cfg, rng)
+        st = fused_stage_breakdown(cfg, keys, HEADLINE_N)
+        text = st.report()
+        log("[bench] fused per-stage breakdown (1M keys, per pass):")
+        for line in text.splitlines():
+            log("  " + line)
+        with open("durations_tpu.txt", "w") as f:
+            f.write(text + "\n")
 
-    results = {}
-    for method in ("xla", "radix"):
-        try:
-            dt = bench_chain(make_step(method), keys, reps=3, warmup=1) / K
-            results[method] = dt
-            print(
-                f"[bench] {method}: {dt * 1e3:.2f} ms/sort "
-                f"({N / dt / 1e6:.0f} M keys/s)",
-                file=sys.stderr,
-                flush=True,
-            )
-        except Exception as e:  # pragma: no cover - diagnostic path
-            print(f"[bench] {method} failed: {e}", file=sys.stderr, flush=True)
-
-    # Correctness gate on the reported path (permutation oracle).
-    best_method = min(results, key=results.get)
-    if best_method == "radix":
-        s, _ = _sort_padded(keys, (idx,), cfg, None, 1)
-    else:
-        s, _ = _xla_sort_padded(keys, (idx,))
-    assert is_sorted(np.asarray(s)[:N]), "bench output not sorted!"
-
-    dt = results[best_method]
-    value = N / dt
-    print(
-        f"[bench] best={best_method}  backend={jax.default_backend()}",
-        file=sys.stderr,
-        flush=True,
+    # 64B-payload table sort (BASELINE config 2): pair sort + 16-col gather.
+    n = HEADLINE_N
+    keys_np, keys, idx = make_inputs(n, cfg, rng)
+    payload = jnp.asarray(
+        rng.integers(0, 2**31, (keys.shape[0], 16), dtype=np.int64).astype(
+            np.int32
+        )
     )
+
+    @jax.jit
+    def payload_step(k):
+        s, p, _ = _fused_sort_padded(k, idx, cfg)
+        rows = gather_rows(payload, jnp.clip(p, 0, payload.shape[0] - 1).astype(jnp.int32))
+        return remix_keys(s) ^ rows[0, 0].astype(jnp.uint32)
+
+    try:
+        dt = bench_chain(payload_step, keys, reps=3, warmup=1)
+        log(
+            f"[bench] n={n:>9} 64B-row table sort (fused): {dt * 1e3:8.2f} "
+            f"ms ({n / dt / 1e6:6.0f} M rows/s)"
+        )
+    except Exception as e:
+        log(f"[bench] payload sort failed: {type(e).__name__}: {e}")
+
+    hl = results.get(HEADLINE_N, {})
+    if not hl:
+        log("[bench] no method produced a verified headline result!")
+        sys.exit(1)
+    best_method = min(hl, key=hl.get)
+    dt = hl[best_method]
+    value = HEADLINE_N / dt
+    log(f"[bench] headline best={best_method} backend={backend}")
     print(
         json.dumps(
             {
-                "metric": "uint32 keys/s, stable 1M key+index sort, single chip",
+                "metric": (
+                    "uint32 keys/s, stable 1M key+index sort, single chip "
+                    f"(best method: {best_method})"
+                ),
                 "value": round(value),
                 "unit": "keys/s",
                 "vs_baseline": round(value / BASELINE_KEYS_PER_S, 3),
