@@ -61,12 +61,8 @@ class EngineConfig:
             raise ValueError(
                 f"radix_bits={self.radix_bits} must divide key_bits={self.key_bits}"
             )
-        if self.radix_bits not in (1, 2, 4):
-            # The per-tile histogram/offset tables live in one 128-lane row
-            # per tile, so the radix must fit in LANES buckets; 8-bit digits
-            # (256 buckets) need a multi-row table layout — planned alongside
-            # the fused scatter kernel.
-            raise ValueError("radix_bits must be one of (1, 2, 4)")
+        if self.radix_bits not in (1, 2, 4, 8):
+            raise ValueError("radix_bits must be one of (1, 2, 4, 8)")
         if self.tile_rows < 1:
             raise ValueError("tile_rows must be >= 1")
 
@@ -74,6 +70,16 @@ class EngineConfig:
     def radix(self) -> int:
         """Number of digit buckets per pass (2**radix_bits)."""
         return 1 << self.radix_bits
+
+    @property
+    def table_lanes(self) -> int:
+        """Lane width of per-tile histogram/offset tables.
+
+        One 128-lane row per tile for radix <= 128; wide digits (radix 256)
+        widen the table to a multiple of 128 lanes instead (Mosaic blocks may
+        have any lane count that is a multiple of 128).
+        """
+        return max(LANES, self.radix)
 
     @property
     def tile(self) -> int:

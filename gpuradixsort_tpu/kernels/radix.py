@@ -48,35 +48,45 @@ def _digits_of(keys: jnp.ndarray, shift: int, radix: int) -> jnp.ndarray:
     ) & jnp.int32(radix - 1)
 
 
-def _one_hot(digits: jnp.ndarray, radix: int) -> jnp.ndarray:
-    """(rows, LANES) digits -> (radix, rows, LANES) one-hot int32."""
-    buckets = jax.lax.broadcasted_iota(jnp.int32, (radix, 1, 1), 0)
-    return (digits[None, :, :] == buckets).astype(jnp.int32)
+def _bucket_chunks(radix: int):
+    """Bucket ranges processed per vectorized block (16-plane nibbles)."""
+    chunk = min(radix, 16)
+    return [(c0, chunk) for c0 in range(0, radix, chunk)]
 
 
-def _hist_kernel(keys_ref, hist_ref, *, shift, radix, tile_rows, tiles):
+def _hist_kernel(keys_ref, hist_ref, *, shift, radix, tile_rows, tiles,
+                 table_lanes):
     """Digit histograms for ``tiles`` tiles: hist_ref[g, r] = count in tile g.
 
     Reduction path chosen for Mosaic: lanes first (3D -> 2D), then per-tile
     row groups via strided column adds, then one small transpose into the
-    (tiles, LANES) output row layout.  1-D-shaped reductions do not lower.
+    (tiles, table_lanes) output row layout.  1-D-shaped reductions do not
+    lower.  Wide digits (radix 256) are processed in 16-bucket nibble chunks
+    so the one-hot expansion stays a bounded VMEM block.
     """
     digits = _digits_of(keys_ref[:], shift, radix)
-    one_hot = _one_hot(digits, radix)  # (radix, tiles*tile_rows, LANES)
-    lane_sums = jnp.sum(one_hot, axis=2)  # (radix, tiles*tile_rows)
-    # Segment-sum the tile_rows-wide column groups with a tiny selector
-    # matmul (lane-dim strided slicing does not lower in Mosaic).  Counts are
-    # <= tile elements, exact in f32.
     rows = jax.lax.broadcasted_iota(jnp.int32, (tiles * tile_rows, tiles), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (tiles * tile_rows, tiles), 1)
     sel = (rows // tile_rows == cols).astype(jnp.float32)
-    per_tile = jnp.dot(
-        lane_sums.astype(jnp.float32), sel, preferred_element_type=jnp.float32
-    )  # (radix, tiles)
-    hist = per_tile.T.astype(jnp.int32)  # (tiles, radix)
-    hist_ref[:] = jnp.concatenate(
-        [hist, jnp.zeros((tiles, LANES - radix), jnp.int32)], axis=1
-    )
+    parts = []
+    for c0, chunk in _bucket_chunks(radix):
+        buckets = c0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
+        one_hot = (digits[None, :, :] == buckets).astype(jnp.int32)
+        lane_sums = jnp.sum(one_hot, axis=2)  # (chunk, tiles*tile_rows)
+        # Segment-sum the tile_rows-wide column groups with a tiny selector
+        # matmul (lane-dim strided slicing does not lower in Mosaic).
+        # Counts are <= tile elements, exact in f32.
+        per_tile = jnp.dot(
+            lane_sums.astype(jnp.float32), sel,
+            preferred_element_type=jnp.float32,
+        )  # (chunk, tiles)
+        parts.append(per_tile.T.astype(jnp.int32))
+    hist = jnp.concatenate(parts, axis=1)  # (tiles, radix)
+    if table_lanes > radix:
+        hist = jnp.concatenate(
+            [hist, jnp.zeros((tiles, table_lanes - radix), jnp.int32)], axis=1
+        )
+    hist_ref[:] = hist
 
 
 def _dest_kernel(keys_ref, off_ref, dest_ref, *, shift, radix, tile_rows, tiles):
@@ -89,19 +99,24 @@ def _dest_kernel(keys_ref, off_ref, dest_ref, *, shift, radix, tile_rows, tiles)
     for g in range(tiles):
         keys = keys_ref[g * tile_rows : (g + 1) * tile_rows, :]
         digits = _digits_of(keys, shift, radix)
-        one_hot = _one_hot(digits, radix)  # (radix, tile_rows, LANES)
-        # Within-tile exclusive rank per bucket, in row-major element order:
-        # cumsum along lanes, then exclusive row offsets along sublanes.
-        lane_incl = inclusive_cumsum(one_hot, axis=2)
-        row_tot = lane_incl[:, :, LANES - 1 : LANES]
-        row_off = exclusive_cumsum(row_tot, axis=1)
-        rank = row_off + lane_incl - one_hot  # exclusive
-        # Select each element's bucket: dest = sum_r one_hot[r]*(rank[r]+off).
-        # Unrolled over the radix — each term is a dense (tile_rows, LANES)
-        # VPU multiply-add; off_ref[g, r] is a scalar VMEM read.
         acc = jnp.zeros((tile_rows, LANES), jnp.int32)
-        for r in range(radix):
-            acc = acc + one_hot[r] * (rank[r] + off_ref[g, r])
+        for c0, chunk in _bucket_chunks(radix):
+            buckets = c0 + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1, 1), 0
+            )
+            one_hot = (digits[None, :, :] == buckets).astype(jnp.int32)
+            # Within-tile exclusive rank per bucket, row-major element order:
+            # cumsum along lanes, then exclusive row offsets along sublanes.
+            lane_incl = inclusive_cumsum(one_hot, axis=2)
+            row_tot = lane_incl[:, :, LANES - 1 : LANES]
+            row_off = exclusive_cumsum(row_tot, axis=1)
+            rank = row_off + lane_incl - one_hot  # exclusive
+            # Select each element's bucket: dest = sum one_hot*(rank+off).
+            # Unrolled over the chunk — each term is a dense
+            # (tile_rows, LANES) VPU multiply-add; off_ref[g, r] is a scalar
+            # VMEM read.
+            for r in range(chunk):
+                acc = acc + one_hot[r] * (rank[r] + off_ref[g, c0 + r])
         dest_ref[g * tile_rows : (g + 1) * tile_rows, :] = acc
 
 
@@ -122,7 +137,7 @@ def _tile_histograms_ref(keys2d: jax.Array, shift: int, cfg: EngineConfig):
     digits = _digits_of(keys2d, shift, cfg.radix).reshape(num_tiles, -1)
     one_hot = digits[:, :, None] == jnp.arange(cfg.radix, dtype=jnp.int32)
     hist = jnp.sum(one_hot, axis=1, dtype=jnp.int32)  # (num_tiles, radix)
-    return jnp.pad(hist, ((0, 0), (0, LANES - cfg.radix)))
+    return jnp.pad(hist, ((0, 0), (0, cfg.table_lanes - cfg.radix)))
 
 
 def _tile_destinations_ref(
@@ -147,8 +162,8 @@ def tile_histograms(
     """Per-tile digit histograms.
 
     keys2d: (num_tiles * tile_rows, LANES) uint32.  Returns
-    (num_tiles, LANES) int32 with bucket r's count in lane r (lanes >= radix
-    are zero).
+    (num_tiles, cfg.table_lanes) int32 with bucket r's count in lane r
+    (lanes >= radix are zero).
     """
     num_steps, step_rows = _grid_args(keys2d, cfg)
     impl = impl or kernel_impl()
@@ -160,6 +175,7 @@ def tile_histograms(
         radix=cfg.radix,
         tile_rows=cfg.tile_rows,
         tiles=TILES_PER_STEP,
+        table_lanes=cfg.table_lanes,
     )
     return pl.pallas_call(
         kernel,
@@ -168,10 +184,11 @@ def tile_histograms(
             pl.BlockSpec((step_rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (TILES_PER_STEP, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+            (TILES_PER_STEP, cfg.table_lanes), lambda t: (t, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (num_steps * TILES_PER_STEP, LANES), jnp.int32
+            (num_steps * TILES_PER_STEP, cfg.table_lanes), jnp.int32
         ),
         interpret=impl == "interpret",
     )(keys2d)
@@ -188,7 +205,7 @@ def tile_destinations(
     """Stable global destination index for every element.
 
     keys2d: (num_tiles * tile_rows, LANES) uint32; offsets: (num_tiles,
-    LANES) int32 global base offsets (digit-major, then tile-major; lane r =
+    cfg.table_lanes) int32 global base offsets (digit-major, then tile-major; lane r =
     bucket r).  Returns (num_tiles * tile_rows, LANES) int32 destinations — a
     permutation of 0..N-1.
     """
@@ -211,7 +228,8 @@ def tile_destinations(
                 (step_rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (TILES_PER_STEP, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+                (TILES_PER_STEP, cfg.table_lanes), lambda t: (t, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -223,7 +241,7 @@ def tile_destinations(
 
 
 def global_offsets(hist: jax.Array) -> jax.Array:
-    """(num_tiles, LANES) histograms -> (num_tiles, LANES) global offsets.
+    """(num_tiles, W) histograms -> (num_tiles, W) global offsets.
 
     Stable LSD ordering is digit-major, then tile-major: bucket r starts after
     every element of buckets < r (all tiles), plus the same bucket in earlier
@@ -232,7 +250,7 @@ def global_offsets(hist: jax.Array) -> jax.Array:
     ``SortIntermediateData.comp:42-44``, folded into one table.  Lanes beyond
     the radix have zero counts and produce unused offsets.
     """
-    col_totals = jnp.sum(hist, axis=0)  # (LANES,)
+    col_totals = jnp.sum(hist, axis=0)  # (W,)
     digit_base = jnp.cumsum(col_totals) - col_totals  # exclusive over digits
     tile_excl = jnp.cumsum(hist, axis=0) - hist  # exclusive over tiles
     return (digit_base[None, :] + tile_excl).astype(jnp.int32)

@@ -92,8 +92,7 @@ def test_radix_widths_agree(rng):
     n = 2048
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
     expected = np.sort(keys)
-    # radix_bits=8 needs the multi-row histogram layout (not yet built)
-    for bits in (1, 2, 4):
+    for bits in (1, 2, 4, 8):
         cfg = EngineConfig(radix_bits=bits)
         out = sort_keys(make_key_column(keys, cfg), cfg)
         np.testing.assert_array_equal(
@@ -194,4 +193,33 @@ class TestFusedMethod:
         keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
         a = sort_keys(make_key_column(keys, CFG), CFG, method="fused")
         b = sort_keys(make_key_column(keys, CFG), CFG, method="xla")
+        np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
+
+
+class TestRadix8:
+    """8-bit digits: wide (T, 256) histogram/offset tables, 4 passes."""
+
+    def test_sort_matches_np(self, rng):
+        cfg8 = EngineConfig(radix_bits=8)
+        assert cfg8.num_passes == 4 and cfg8.table_lanes == 256
+        n = 5000
+        for name, keys in _keysets(rng, n).items():
+            out = sort_keys(make_key_column(keys, cfg8), cfg8)
+            np.testing.assert_array_equal(
+                out.to_numpy(), np.sort(keys), err_msg=f"keyset={name}"
+            )
+
+    def test_pairs_stability(self, rng):
+        cfg8 = EngineConfig(radix_bits=8)
+        keys = rng.integers(0, 300, size=4000, dtype=np.uint32)
+        _, perm = sort_pairs(make_key_column(keys, cfg8), cfg8)
+        np.testing.assert_array_equal(
+            perm.to_numpy(), np.argsort(keys, kind="stable").astype(np.uint32)
+        )
+
+    def test_agrees_with_radix4(self, rng):
+        keys = rng.integers(0, 2**32, size=3000, dtype=np.uint32)
+        cfg8 = EngineConfig(radix_bits=8)
+        a = sort_keys(make_key_column(keys, cfg8), cfg8)
+        b = sort_keys(make_key_column(keys, CFG), CFG)
         np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
