@@ -23,6 +23,16 @@ Skew handling: bucket->shard assignment balances *observed* global bucket
 counts (midpoint rule), so moderate skew re-partitions automatically; a
 single bucket larger than a shard's capacity sets the ``overflow`` flag —
 callers retry with a larger ``cap_factor`` or more ``bucket_bits``.
+
+On exchange/compute overlap (SURVEY.md §7 hard part 5): chunking the
+all_to_all along block positions so the merge overlaps arrival is NOT done
+deliberately — equal keys from a lower-ranked source can land in a later
+chunk, and chunk-major merging would reorder them, breaking the stable
+contract.  A correct overlap needs (key, source-index) composite merge keys
+(64-bit, unavailable without x64) or a streaming two-pointer merge; until
+then XLA's async collective scheduling is the overlap mechanism — the
+all_to_all's of keys/index/extras are independent and may overlap each
+other and the preceding pack compute.
 """
 
 from __future__ import annotations
