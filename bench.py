@@ -58,11 +58,17 @@ def make_inputs(n: int, cfg: EngineConfig, rng):
     return keys_np, keys, idx
 
 
-def sort_step(method: str, cfg: EngineConfig, idx, k_chain: int):
-    """One jit-able x->x chain of k_chain sorts with an in-chain sorted bit."""
+def sort_step(method: str, cfg: EngineConfig, k_chain: int):
+    """One jit-able x->x chain of k_chain sorts with an in-chain sorted bit.
+
+    The state is the (keys, index) pair — the index column rides as an
+    ARGUMENT, never a closure, so it cannot be inlined as an HLO constant
+    (which blows the program size past the remote-compile limit at 64M).
+    """
 
     @jax.jit
-    def step(k):
+    def step(state):
+        k, idx = state
         for _ in range(k_chain):
             if method == "radix":
                 s, (p,) = _sort_padded(k, (idx,), cfg, None, 1)
@@ -72,7 +78,7 @@ def sort_step(method: str, cfg: EngineConfig, idx, k_chain: int):
                 s, (p,) = _xla_sort_padded(k, (idx,))
             ok = device_is_sorted(s)
             k = remix_keys(s) ^ (ok.astype(jnp.uint32) - 1)
-        return k
+        return (k, idx)
 
     return step
 
@@ -80,7 +86,7 @@ def sort_step(method: str, cfg: EngineConfig, idx, k_chain: int):
 def run_method(method, cfg, keys, idx, n, k_chain, reps) -> float | None:
     try:
         dt = bench_chain(
-            sort_step(method, cfg, idx, k_chain), keys, reps=reps, warmup=1
+            sort_step(method, cfg, k_chain), (keys, idx), reps=reps, warmup=1
         ) / k_chain
         log(
             f"[bench] n={n:>9} {method:>5}: {dt * 1e3:8.2f} ms/sort "
@@ -116,15 +122,26 @@ def fused_stage_breakdown(cfg: EngineConfig, keys, n, reps=3) -> StageTimes:
     ``ParallelSort.cpp:176-188``).
     """
     st = StageTimes()
+    k_chain = 8
     k2 = keys.reshape(-1, LANES)
     i2 = jnp.arange(keys.shape[0], dtype=jnp.uint32).reshape(-1, LANES)
     hist = rk.tile_histograms(k2, 0, cfg)
     offsets = rk.global_offsets(hist)
     bk, bi = bucketize_tiles(k2, i2, 0, cfg)
 
-    def chain(fn, x0, name):
+    def chain(body, state0, name):
+        """Time body chained k_chain times per dispatch; state is a pytree
+        whose first leaf is the remixed carrier (aux leaves ride as args, so
+        nothing device-sized is baked into the HLO as a constant)."""
+
+        @jax.jit
+        def step(state):
+            for _ in range(k_chain):
+                state = (body(*state), *state[1:])
+            return state
+
         try:
-            t = bench_chain(fn, x0, reps=reps, warmup=1)
+            t = bench_chain(step, state0, reps=reps, warmup=1) / k_chain
             st.add(name, t)
         except Exception as e:  # pragma: no cover
             log(f"[bench] stage {name} failed: {e}")
@@ -132,40 +149,32 @@ def fused_stage_breakdown(cfg: EngineConfig, keys, n, reps=3) -> StageTimes:
     # Every step is x -> x (bench_chain contract): the stage result is folded
     # back into the carried state with a cheap xor.
     chain(
-        jax.jit(
-            lambda k: k ^ jnp.uint32(
-                rk.tile_histograms(k ^ jnp.uint32(1), 0, cfg)[0, 0]
-            )
+        lambda k: k ^ jnp.uint32(
+            rk.tile_histograms(k ^ jnp.uint32(1), 0, cfg)[0, 0]
         ),
-        k2,
+        (k2,),
         "histogram kernel (per pass)",
     )
     chain(
-        jax.jit(lambda h: h ^ rk.global_offsets(h ^ 1)[0, 0]),
-        hist,
+        lambda h: h ^ rk.global_offsets(h ^ 1)[0, 0],
+        (hist,),
         "global offsets (per pass)",
     )
     chain(
-        jax.jit(
-            lambda k: bucketize_tiles(k ^ jnp.uint32(1), i2, 0, cfg)[0]
-        ),
-        k2,
+        lambda k, i: bucketize_tiles(k ^ jnp.uint32(1), i, 0, cfg)[0],
+        (k2, i2),
         "bucketize kernel (per pass)",
     )
     chain(
-        jax.jit(
-            lambda k: scatter_runs(k ^ jnp.uint32(1), bi, hist, offsets, cfg)[0]
-        ),
-        bk,
+        lambda k, i, h, o: scatter_runs(k ^ jnp.uint32(1), i, h, o, cfg)[0],
+        (bk, bi, hist, offsets),
         "window-write scatter (per pass)",
     )
     payload = jnp.zeros((k2.size, 16), jnp.int32)
     src0 = jnp.arange(k2.size, dtype=jnp.int32)
     chain(
-        jax.jit(
-            lambda s: s ^ gather_rows(payload, s & (k2.size - 1))[:, 0]
-        ),
-        src0,
+        lambda s, p: s ^ gather_rows(p, s & (k2.size - 1))[:, 0],
+        (src0, payload),
         "payload gather 64B rows (once)",
     )
     return st
@@ -221,13 +230,16 @@ def main() -> None:
     )
 
     @jax.jit
-    def payload_step(k):
-        s, p, _ = _fused_sort_padded(k, idx, cfg)
-        rows = gather_rows(payload, jnp.clip(p, 0, payload.shape[0] - 1).astype(jnp.int32))
-        return remix_keys(s) ^ rows[0, 0].astype(jnp.uint32)
+    def payload_step(state):
+        k, idx_a, pay = state
+        s, p, _ = _fused_sort_padded(k, idx_a, cfg)
+        rows = gather_rows(
+            pay, jnp.clip(p, 0, pay.shape[0] - 1).astype(jnp.int32)
+        )
+        return (remix_keys(s) ^ rows[0, 0].astype(jnp.uint32), idx_a, pay)
 
     try:
-        dt = bench_chain(payload_step, keys, reps=3, warmup=1)
+        dt = bench_chain(payload_step, (keys, idx, payload), reps=3, warmup=1)
         log(
             f"[bench] n={n:>9} 64B-row table sort (fused): {dt * 1e3:8.2f} "
             f"ms ({n / dt / 1e6:6.0f} M rows/s)"

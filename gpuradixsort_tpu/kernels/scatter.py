@@ -48,19 +48,26 @@ from gpuradixsort_tpu.config import LANES, EngineConfig, kernel_impl
 DEFAULT_WINDOW_ROWS = 2
 
 
+# Meta tables are delivered to the kernel as (8, 128)-row SMEM blocks, each
+# holding the scalars for META_BLOCK consecutive grid steps — SMEM on v5e is
+# 1 MB, so whole-grid scalar prefetch stops scaling around 8M keys; blocked
+# delivery scales to any N at 4 KB of SMEM per table.
+META_ROWS = 8
+META_BLOCK = META_ROWS * LANES
+
+
 def plan_windows(
     hist: jax.Array, offsets: jax.Array, tile_rows: int, radix: int,
     window_rows: int,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Host-side (traced, tiny) per-step scalar plan for the kernel.
 
     hist/offsets: (T, LANES) int32 per-tile counts / global base offsets
-    (lane r = bucket r).  Returns ``(off_ext, src, overflow)``: the global
-    output offset per step — extended by one trailing entry (= total
-    elements) so a step's run length is ``off_ext[g+1] - off_ext[g]`` — and
-    the flat source position of each run, both in (r-outer, t-inner) step
-    order; plus the scalar skew flag (some run exceeds the window).
-    Everything else the kernel needs is scalar arithmetic on these two.
+    (lane r = bucket r).  Returns ``(off, src, cnt, overflow)``: per-step
+    global output offset, flat source position, and run length, each shaped
+    for blocked SMEM delivery ((ceil(G/1024)*8, 128), step g at
+    [g//128 % 8, g%128] of block g//1024) in (r-outer, t-inner) step order;
+    plus the scalar skew flag (some run exceeds the window).
     """
     num_tiles = hist.shape[0]
     w = window_rows * LANES
@@ -72,24 +79,33 @@ def plan_windows(
     overflow = jnp.max(cnt) > w
 
     tile_base = jnp.arange(num_tiles, dtype=jnp.int32) * (tile_rows * LANES)
-    src = (tile_base[None, :] + loff).reshape(-1)
-    total = jnp.full((1,), num_tiles * tile_rows * LANES, jnp.int32)
-    off_ext = jnp.concatenate([off.reshape(-1), total])
-    return off_ext.astype(jnp.int32), src.astype(jnp.int32), overflow
+    src = tile_base[None, :] + loff
+
+    def to_blocks(x):
+        flat = x.reshape(-1).astype(jnp.int32)
+        g = flat.shape[0]
+        padded = -(-g // META_BLOCK) * META_BLOCK
+        if padded != g:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((padded - g,), jnp.int32)]
+            )
+        return flat.reshape(-1, LANES)
+
+    return to_blocks(off), to_blocks(src), to_blocks(cnt), overflow
 
 
 def _window_kernel(
-    off_ref, src_ref, bk_hbm, bi_hbm, ok_hbm, oi_hbm,
+    off_ref, src_ref, cnt_ref, bk_hbm, bi_hbm, ok_hbm, oi_hbm,
     wk, wi, mk, mi, ck, ci, in_sem, out_sem, *, window_rows,
 ):
     """One step = one (digit, tile) run through the streaming frontier."""
     r_w = window_rows + 2
     step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    off = off_ref[step]
-    src = src_ref[step]
-    # Consecutive steps abut in the global output (digit-major then
-    # tile-major), so the run length is the offset delta.
-    cnt = off_ref[step + 1] - off
+    j = step % META_BLOCK  # position inside this step's SMEM meta block
+    jr, jl = j // LANES, j % LANES
+    off = off_ref[jr, jl]
+    src = src_ref[jr, jl]
+    cnt = cnt_ref[jr, jl]
     src_row = src // LANES
     p = src % LANES
     c = off % LANES
@@ -212,7 +228,7 @@ def scatter_runs(
     """
     radix = cfg.radix
     num_tiles = hist.shape[0]
-    off_ext, src, overflow = plan_windows(
+    off_b, src_b, cnt_b, overflow = plan_windows(
         hist, offsets, cfg.tile_rows, radix, window_rows)
     impl = impl or kernel_impl()
     if impl == "reference":
@@ -228,30 +244,35 @@ def scatter_runs(
     bi_p = jnp.concatenate([bi2d, slack.astype(bi2d.dtype)], axis=0)
 
     kernel = functools.partial(_window_kernel, window_rows=window_rows)
+    meta_spec = pl.BlockSpec(
+        (META_ROWS, LANES),
+        lambda r, t: ((r * num_tiles + t) // META_BLOCK, 0),
+        memory_space=pltpu.SMEM,
+    )
     ok, oi = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(radix, num_tiles),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((r_w, LANES), bk2d.dtype),
-                pltpu.VMEM((r_w, LANES), bi2d.dtype),
-                pltpu.VMEM((r_w, LANES), bk2d.dtype),
-                pltpu.VMEM((r_w, LANES), bi2d.dtype),
-                pltpu.VMEM((1, LANES), bk2d.dtype),
-                pltpu.VMEM((1, LANES), bi2d.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
+        grid=(radix, num_tiles),
+        in_specs=[
+            meta_spec,
+            meta_spec,
+            meta_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r_w, LANES), bk2d.dtype),
+            pltpu.VMEM((r_w, LANES), bi2d.dtype),
+            pltpu.VMEM((r_w, LANES), bk2d.dtype),
+            pltpu.VMEM((r_w, LANES), bi2d.dtype),
+            pltpu.VMEM((1, LANES), bk2d.dtype),
+            pltpu.VMEM((1, LANES), bi2d.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), bk2d.dtype),
             jax.ShapeDtypeStruct((rows, LANES), bi2d.dtype),
@@ -261,5 +282,5 @@ def scatter_runs(
             has_side_effects=True,
         ),
         interpret=impl == "interpret",
-    )(off_ext, src, bk_p, bi_p)
+    )(off_b, src_b, cnt_b, bk_p, bi_p)
     return ok, oi, overflow

@@ -57,23 +57,27 @@ class TestPlanWindows:
         hist[1, :4] = [0, 1024, 0, 0]
         hist_j = jnp.asarray(hist)
         offsets = rk.global_offsets(hist_j)
-        off_ext, src, overflow = sck.plan_windows(
+        off_b, src_b, cnt_b, overflow = sck.plan_windows(
             hist_j, offsets, cfg.tile_rows, 4, window_rows=8
         )
-        off_ext, src = np.asarray(off_ext), np.asarray(src)
+        # Blocked SMEM layout: step g lives at flat position g.
+        off = np.asarray(off_b).reshape(-1)
+        src = np.asarray(src_b).reshape(-1)
+        cnt = np.asarray(cnt_b).reshape(-1)
         assert not bool(overflow)
         # Step order is (r-outer, t-inner): g = r*T + t, T=2.
-        assert off_ext[0] == 0 and src[0] == 0
+        assert off[0] == 0 and src[0] == 0
         # bucket 1 / tile 1: global off = 100 (b0 total) + 500 (b1 tile0);
         # src = tile_base + local_off = 1024 + 0.
         g = 1 * 2 + 1
-        assert off_ext[g] == 600
+        assert off[g] == 600
         assert src[g] == 1024
-        # The offsets must telescope: deltas are exactly the per-step run
-        # counts in (r-outer, t-inner) order, ending at the array size.
-        assert off_ext[-1] == hist.sum()
+        # Counts are exactly the per-step run lengths in step order, and
+        # offsets telescope over them (the streaming-frontier invariant).
+        want_cnt = hist[:, :4].T.reshape(-1)
+        np.testing.assert_array_equal(cnt[: want_cnt.size], want_cnt)
         np.testing.assert_array_equal(
-            np.diff(off_ext), hist[:, :4].T.reshape(-1)
+            off[1 : want_cnt.size], (np.cumsum(want_cnt))[:-1]
         )
 
     def test_overflow_flag(self):
@@ -82,7 +86,7 @@ class TestPlanWindows:
         hist[0, 3] = cfg.tile  # one run of a whole tile
         hist_j = jnp.asarray(hist)
         offsets = rk.global_offsets(hist_j)
-        _, _, overflow = sck.plan_windows(
+        _, _, _, overflow = sck.plan_windows(
             hist_j, offsets, cfg.tile_rows, cfg.radix, window_rows=2
         )
         assert bool(overflow)
