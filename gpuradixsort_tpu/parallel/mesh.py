@@ -16,6 +16,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ROW_AXIS = "x"
 
 
+def shard_rows(mesh: Mesh, *arrays):
+    """Place arrays with rows sharded over the mesh axis (ICI-resident).
+
+    Committing inputs to the row sharding before ``dist_*`` calls avoids an
+    implicit host->device relayout inside the first collective step.
+    """
+    sharding = NamedSharding(mesh, P(ROW_AXIS))
+    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
 def make_row_mesh(num_devices: int | None = None) -> Mesh:
     """A 1-D mesh over the first ``num_devices`` devices, axis name "x"."""
     devices = jax.devices()
@@ -28,9 +39,3 @@ def make_row_mesh(num_devices: int | None = None) -> Mesh:
     return jax.make_mesh((num_devices,), (ROW_AXIS,), devices=devices[:num_devices])
 
 
-def row_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(ROW_AXIS))
-
-
-def replicated(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P())

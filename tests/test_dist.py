@@ -27,9 +27,11 @@ def _pad_for_mesh(keys: np.ndarray, num_shards: int) -> jnp.ndarray:
 
 
 def _check(keys: np.ndarray, num_shards: int, **kw):
+    from gpuradixsort_tpu.parallel.mesh import shard_rows
+
     n = keys.shape[0]
     mesh = make_row_mesh(num_shards)
-    padded = _pad_for_mesh(keys, num_shards)
+    padded = shard_rows(mesh, _pad_for_mesh(keys, num_shards))
     res = dist_sort_pairs(padded, mesh, CFG, n_live=n, **kw)
     out_keys, out_idx = gather_sorted(res)
     np.testing.assert_array_equal(out_keys[:n], np.sort(keys))
