@@ -24,15 +24,21 @@ counts (midpoint rule), so moderate skew re-partitions automatically; a
 single bucket larger than a shard's capacity sets the ``overflow`` flag —
 callers retry with a larger ``cap_factor`` or more ``bucket_bits``.
 
-On exchange/compute overlap (SURVEY.md §7 hard part 5): chunking the
-all_to_all along block positions so the merge overlaps arrival is NOT done
-deliberately — equal keys from a lower-ranked source can land in a later
-chunk, and chunk-major merging would reorder them, breaking the stable
-contract.  A correct overlap needs (key, source-index) composite merge keys
-(64-bit, unavailable without x64) or a streaming two-pointer merge; until
-then XLA's async collective scheduling is the overlap mechanism — the
-all_to_all's of keys/index/extras are independent and may overlap each
-other and the preceding pack compute.
+On exchange/compute overlap (SURVEY.md §7 hard part 5): two exchange
+schedules are provided.  The default is one monolithic ``all_to_all`` + a
+P-way merge tree; XLA's async collective scheduling overlaps the
+independent keys/index/extras exchanges with each other and with the pack
+compute.  ``overlap=True`` selects the ring schedule
+(:func:`_ring_merge_exchange`): P-1 single-step ``ppermute`` rounds, each
+round's incoming block folded into a fixed-size accumulator while the next
+round's permute — whose operand depends only on the pre-packed send blocks,
+never on the previous merge — is free to fly concurrently.  Chunk-major
+merging is stable despite the cyclic (non-rank-monotone) arrival order
+because each fold merges on the composite (key, global-original-index) with
+``lax.sort(num_keys=2)``: the index column that already rides the exchange
+IS the total stability order (gidx = shard * n_local + i), so arrival order
+cannot perturb ties, and pad sentinels (max key, max index) sort strictly
+last, which makes the fixed-capacity accumulator truncation exact.
 """
 
 from __future__ import annotations
@@ -110,6 +116,75 @@ def _merge_runs(keys2d, payloads2d: tuple):
     return keys2d.reshape(-1), tuple(x.reshape(-1) for x in payloads2d)
 
 
+def _ring_merge_exchange(
+    send_keys: jax.Array,
+    send_payloads: tuple,
+    send_counts: jax.Array,
+    num_shards: int,
+    capacity: int,
+):
+    """Overlapped exchange: P-1 ppermute rounds, merge-as-you-receive.
+
+    ``send_keys``/``send_payloads[0]`` (the global-index column) /
+    further payloads: (num_shards, capacity) blocks, row d = my rows for
+    dest shard d, each block a slice of my sorted run.  Round s delivers to
+    every shard the block from source (me + s) % P in one uniform ppermute;
+    the accumulator fold is a stable two-key sort on (key, gidx), so the
+    cyclic arrival order is immaterial (see module docstring).  The round
+    s+1 permute reads only the static send blocks — never round s's merge —
+    so the collective and the fold overlap under XLA's async scheduler.
+
+    Accumulator truncation: live rows after round s are <= (s+1) * capacity
+    and pads sort strictly last on (key, gidx), so slicing the
+    ((P+1) * capacity)-row fold result back to P * capacity rows only ever
+    drops pads.
+    """
+    me = jax.lax.axis_index(ROW_AXIS)
+    total = num_shards * capacity
+    acc_k = jnp.full((total,), PAD_KEY, send_keys.dtype)
+    acc_p = tuple(
+        jnp.full((total,), PAD_INDEX, p.dtype) if i == 0
+        else jnp.zeros((total,), p.dtype)
+        for i, p in enumerate(send_payloads)
+    )
+    count = jnp.int32(0)
+
+    def fold(acc_k, acc_p, inc_k, inc_p):
+        cat_k = jnp.concatenate([acc_k, inc_k])
+        cat_p = tuple(
+            jnp.concatenate([a, b]) for a, b in zip(acc_p, inc_p)
+        )
+        out = jax.lax.sort((cat_k, *cat_p), num_keys=2, is_stable=False)
+        return out[0][:total], tuple(x[:total] for x in out[1:])
+
+    for s in range(num_shards):
+        # My block destined for shard (me - s) mod P goes out this round...
+        pick = jax.lax.rem(
+            me - jnp.int32(s) + jnp.int32(num_shards), jnp.int32(num_shards)
+        )
+        blk_k = jax.lax.dynamic_index_in_dim(
+            send_keys, pick, axis=0, keepdims=False
+        )
+        blk_p = tuple(
+            jax.lax.dynamic_index_in_dim(p, pick, axis=0, keepdims=False)
+            for p in send_payloads
+        )
+        blk_c = jax.lax.dynamic_index_in_dim(
+            send_counts, pick, axis=0, keepdims=False
+        )
+        if s:
+            # ...so shard me receives the block from source (me + s) mod P.
+            perm = [(j, (j - s) % num_shards) for j in range(num_shards)]
+            blk_k = jax.lax.ppermute(blk_k, ROW_AXIS, perm)
+            blk_p = tuple(
+                jax.lax.ppermute(x, ROW_AXIS, perm) for x in blk_p
+            )
+            blk_c = jax.lax.ppermute(blk_c, ROW_AXIS, perm)
+        acc_k, acc_p = fold(acc_k, acc_p, blk_k, blk_p)
+        count = count + blk_c
+    return acc_k, acc_p, count
+
+
 def _shard_exchange_sorted(
     keys: jax.Array,
     extras: tuple,
@@ -119,6 +194,7 @@ def _shard_exchange_sorted(
     capacity: int,
     bucket_bits: int,
     method: str,
+    overlap: bool = False,
 ):
     """Per-shard exchange core (runs under shard_map over the "x" axis).
 
@@ -213,6 +289,16 @@ def _shard_exchange_sorted(
     send_idx = pack(sidx, PAD_INDEX)
     send_extras = tuple(pack(x, jnp.zeros((), x.dtype)) for x in sextras)
 
+    overflow_g = jax.lax.pmax(overflow.astype(jnp.int32), ROW_AXIS) > 0
+
+    # 6'. Overlapped schedule: ring ppermute + merge-as-you-receive.
+    if overlap:
+        mkeys, (midx, *mextras), count = _ring_merge_exchange(
+            send_keys, (send_idx, *send_extras), send_counts,
+            num_shards, capacity,
+        )
+        return mkeys, midx, tuple(mextras), count, overflow_g
+
     # 6. Exchange over ICI.  tiled all_to_all keeps source-major order.
     def exchange(x):
         return jax.lax.all_to_all(
@@ -224,7 +310,7 @@ def _shard_exchange_sorted(
     recv_extras = tuple(exchange(x) for x in send_extras)
     recv_counts = exchange(send_counts)
     count = jnp.sum(recv_counts).astype(jnp.int32)
-    overflow = jax.lax.pmax(overflow.astype(jnp.int32), ROW_AXIS) > 0
+    overflow = overflow_g
 
     # 7. Local stable P-way merge of the received runs: each source block is
     #    a slice of a sorted run, and blocks arrive source-major, so a merge
@@ -259,10 +345,12 @@ def _shard_fn(
     capacity: int,
     bucket_bits: int,
     method: str,
+    overlap: bool = False,
 ):
     """Per-shard distributed-sort body: exchange + pad repair."""
     mkeys, midx, _, count, overflow = _shard_exchange_sorted(
-        keys, (), n_live, cfg, num_shards, capacity, bucket_bits, method
+        keys, (), n_live, cfg, num_shards, capacity, bucket_bits, method,
+        overlap,
     )
     # Repair the 0xFFFFFFFF tail: real max-keys before pad sentinels.
     (mkeys, midx), _ = _compact_by_mask(
@@ -273,7 +361,9 @@ def _shard_fn(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "bucket_bits", "cap_factor", "method"),
+    static_argnames=(
+        "cfg", "mesh", "bucket_bits", "cap_factor", "method", "overlap"
+    ),
 )
 def _dist_sort_padded(
     keys: jax.Array,
@@ -283,6 +373,7 @@ def _dist_sort_padded(
     bucket_bits: int,
     cap_factor: float,
     method: str,
+    overlap: bool = False,
 ):
     num_shards = mesh.shape[ROW_AXIS]
     n = keys.shape[0]
@@ -301,6 +392,7 @@ def _dist_sort_padded(
         capacity=capacity,
         bucket_bits=bucket_bits,
         method=method,
+        overlap=overlap,
     )
     mkeys, midx, counts, overflow = jax.shard_map(
         fn,
@@ -326,6 +418,7 @@ def dist_sort_pairs(
     method: str = "auto",
     n_live: int | None = None,
     auto_retry: bool = True,
+    overlap: bool = False,
 ) -> ShardedSort:
     """Distributed stable sort of (key, original-index) pairs over a mesh.
 
@@ -338,6 +431,11 @@ def dist_sort_pairs(
     distribution fits — an all-equal keyset lands on one shard and still
     succeeds untuned).  Pass ``auto_retry=False`` to surface the first
     overflow instead.
+
+    ``overlap=True`` selects the ring exchange schedule (P-1 ppermute
+    rounds with merge-as-you-receive) instead of the monolithic all_to_all
+    + merge tree — same semantics, same stability; see the module docstring
+    for when each wins.
     """
     cfg = cfg or EngineConfig()
     if method == "auto":

@@ -140,3 +140,30 @@ def test_dist_sort_narrow_key_range(rng):
     keys = rng.integers(0, 5, size=40_000, dtype=np.uint32)
     _check(keys, 4)
     _check(keys, 8)
+
+
+@pytest.mark.parametrize("num_shards", [3, 8])
+def test_dist_sort_overlap_ring(num_shards, rng):
+    # The ring schedule (ppermute + merge-as-you-receive) must be
+    # semantically identical to the all_to_all + merge tree, including on a
+    # non-power-of-two mesh (the tree path cannot even run there).
+    keys = rng.integers(0, 2**32, size=48_000, dtype=np.uint32)
+    _check(keys, num_shards, overlap=True)
+
+
+def test_dist_sort_overlap_stability(rng):
+    # Heavy duplicates: cyclic (non-rank-monotone) arrival order must not
+    # perturb equal-key order — the (key, gidx) composite fold guarantees it.
+    keys = rng.integers(0, 8, size=30_000, dtype=np.uint32)
+    _check(keys, 4, overlap=True)
+
+
+def test_dist_sort_overlap_max_keys(rng):
+    # Real 0xFFFFFFFF keys tie with pad sentinels on the key; the gidx
+    # tiebreak must keep every live row inside the truncated accumulator.
+    keys = np.where(
+        rng.integers(0, 2, size=20_000).astype(bool),
+        np.uint32(0xFFFFFFFF),
+        rng.integers(0, 1000, size=20_000, dtype=np.uint32),
+    )
+    _check(keys, 4, overlap=True)
