@@ -64,21 +64,28 @@ def sort_step(method: str, cfg: EngineConfig, k_chain: int):
     The state is the (keys, index) pair — the index column rides as an
     ARGUMENT, never a closure, so it cannot be inlined as an HLO constant
     (which blows the program size past the remote-compile limit at 64M).
+    The chain is a ``lax.scan`` so the sort body compiles ONCE however long
+    the chain is — long chains are what amortize the tunneled device's
+    per-dispatch floor (measured 0.7-26 ms across sessions, probes/), the
+    same reason the reference times a warm second run (``main.cpp:154-160``).
     """
+
+    def body(state, _):
+        k, idx = state
+        if method == "radix":
+            s, (p,) = _sort_padded(k, (idx,), cfg, None, 1)
+        elif method == "fused":
+            s, p, _ = _fused_sort_padded(k, idx, cfg)
+        else:
+            s, (p,) = _xla_sort_padded(k, (idx,))
+        ok = device_is_sorted(s)
+        k = remix_keys(s) ^ (ok.astype(jnp.uint32) - 1)
+        return (k, idx), None
 
     @jax.jit
     def step(state):
-        k, idx = state
-        for _ in range(k_chain):
-            if method == "radix":
-                s, (p,) = _sort_padded(k, (idx,), cfg, None, 1)
-            elif method == "fused":
-                s, p, _ = _fused_sort_padded(k, idx, cfg)
-            else:
-                s, (p,) = _xla_sort_padded(k, (idx,))
-            ok = device_is_sorted(s)
-            k = remix_keys(s) ^ (ok.astype(jnp.uint32) - 1)
-        return (k, idx)
+        out, _ = jax.lax.scan(body, state, None, length=k_chain)
+        return out
 
     return step
 
@@ -122,7 +129,7 @@ def fused_stage_breakdown(cfg: EngineConfig, keys, n, reps=3) -> StageTimes:
     ``ParallelSort.cpp:176-188``).
     """
     st = StageTimes()
-    k_chain = 8
+    k_chain = 32
     k2 = keys.reshape(-1, LANES)
     i2 = jnp.arange(keys.shape[0], dtype=jnp.uint32).reshape(-1, LANES)
     hist = rk.tile_histograms(k2, 0, cfg)
@@ -136,9 +143,11 @@ def fused_stage_breakdown(cfg: EngineConfig, keys, n, reps=3) -> StageTimes:
 
         @jax.jit
         def step(state):
-            for _ in range(k_chain):
-                state = (body(*state), *state[1:])
-            return state
+            def one(s, _):
+                return (body(*s), *s[1:]), None
+
+            out, _ = jax.lax.scan(one, state, None, length=k_chain)
+            return out
 
         try:
             t = bench_chain(step, state0, reps=reps, warmup=1) / k_chain
@@ -195,11 +204,18 @@ def main() -> None:
     if backend != "tpu":
         sizes = [HEADLINE_N]
         methods_by_n = {HEADLINE_N: ("xla", "radix")}
+    chain_by_n = {
+        n: (48 if n <= HEADLINE_N else (8 if n <= (16 << 20) else 2))
+        if backend == "tpu" else 4
+        for n in sizes
+    }
 
     results: dict[int, dict[str, float]] = {}
     for n in sizes:
         keys_np, keys, idx = make_inputs(n, cfg, rng)
-        k_chain = 8 if n <= HEADLINE_N else (4 if n <= (16 << 20) else 1)
+        # Chain lengths sized so ~2.2 ms/M-key sorts dwarf even a ~26 ms
+        # per-dispatch floor (observed on a bad tunnel day, results_r5.json).
+        k_chain = chain_by_n[n]
         reps = 3 if n <= (16 << 20) else 2
         results[n] = {}
         for method in methods_by_n[n]:
@@ -229,17 +245,26 @@ def main() -> None:
         )
     )
 
+    pay_chain = 8
+
     @jax.jit
     def payload_step(state):
-        k, idx_a, pay = state
-        s, p, _ = _fused_sort_padded(k, idx_a, cfg)
-        rows = gather_rows(
-            pay, jnp.clip(p, 0, pay.shape[0] - 1).astype(jnp.int32)
-        )
-        return (remix_keys(s) ^ rows[0, 0].astype(jnp.uint32), idx_a, pay)
+        def one(s, _):
+            k, idx_a, pay = s
+            srt, p, _ = _fused_sort_padded(k, idx_a, cfg)
+            rows = gather_rows(
+                pay, jnp.clip(p, 0, pay.shape[0] - 1).astype(jnp.int32)
+            )
+            k = remix_keys(srt) ^ rows[0, 0].astype(jnp.uint32)
+            return (k, idx_a, pay), None
+
+        out, _ = jax.lax.scan(one, state, None, length=pay_chain)
+        return out
 
     try:
-        dt = bench_chain(payload_step, (keys, idx, payload), reps=3, warmup=1)
+        dt = bench_chain(
+            payload_step, (keys, idx, payload), reps=3, warmup=1
+        ) / pay_chain
         log(
             f"[bench] n={n:>9} 64B-row table sort (fused): {dt * 1e3:8.2f} "
             f"ms ({n / dt / 1e6:6.0f} M rows/s)"
