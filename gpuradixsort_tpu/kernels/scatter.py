@@ -45,7 +45,17 @@ from gpuradixsort_tpu.config import LANES, EngineConfig, kernel_impl
 # Window size in 128-lane rows.  A (digit, tile) run of up to
 # window_rows*LANES elements is handled per step; the DMA reads
 # window_rows + 2 rows (one for the unaligned head, one of rotation slack).
-DEFAULT_WINDOW_ROWS = 2
+# The default window capacity (14 * 128 = 1792) exceeds the tile size
+# (tile_rows * LANES = 1024), so a run can NEVER exceed the window: the
+# overflow fallback is structurally unreachable and the fused pipeline
+# stays all-Pallas on every input, including padded ones whose all-pad
+# tail tiles form full-tile runs (the case that silently forced the
+# fallback on every padded sort when the window was 2 rows).  14 rather
+# than 8 because the DMA/roll window buffer is window_rows + 2 rows and a
+# 10-row (non-8-aligned) buffer faults Mosaic on v5e at this size; 16 rows
+# is sublane-aligned.  The scatter is per-step-overhead-bound, not
+# byte-bound, so the wider read window costs little (durations_tpu.txt).
+DEFAULT_WINDOW_ROWS = 14
 
 
 # Meta tables are delivered to the kernel as (8, 128)-row SMEM blocks, each

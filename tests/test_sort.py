@@ -223,3 +223,24 @@ class TestRadix8:
         a = sort_keys(make_key_column(keys, cfg8), cfg8)
         b = sort_keys(make_key_column(keys, CFG), CFG)
         np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
+
+    def test_fused_padded_input_no_overflow(self, rng):
+        # Regression: a ragged N leaves all-pad tail tiles whose pad runs
+        # span a whole tile (1024 > the old 256-element window), which
+        # silently forced EVERY padded sort onto the lax.sort fallback.
+        # With the default window equal to the tile size, overflow is
+        # structurally impossible and the real pipeline handles pads.
+        from gpuradixsort_tpu.config import PAD_INDEX, PAD_KEY
+        from gpuradixsort_tpu.core.table import pad_to_tile
+        from gpuradixsort_tpu.ops.sort import _fused_sort_padded
+
+        n = CFG.block + 17  # ragged: forces a mostly-pad trailing block
+        keys_np = rng.integers(0, 2**32, n, dtype=np.uint32)
+        keys = pad_to_tile(jnp.asarray(keys_np), CFG, PAD_KEY)
+        idx = pad_to_tile(jnp.arange(n, dtype=jnp.uint32), CFG, PAD_INDEX)
+        s, i, overflow = _fused_sort_padded(keys, idx, CFG)
+        assert not bool(overflow)
+        np.testing.assert_array_equal(np.asarray(s)[:n], np.sort(keys_np))
+        np.testing.assert_array_equal(
+            np.asarray(i)[:n], np.argsort(keys_np, kind="stable")
+        )
