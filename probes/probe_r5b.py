@@ -1,9 +1,11 @@
-"""Round-5b probe: which fused stage scales superlinearly 1M -> 16M?
+"""Round-5b probe: per-stage scaling of the fused pipeline, 1M -> 16M.
 
-bench.py measured the full fused sort at 2.37 ms/sort @1M but 1122 ms @16M
-(70x the linear expectation).  Time bucketize and the window-write scatter
-in isolation at 1M / 4M / 16M with scan-chained dispatches to find the
-stage whose per-element cost explodes with tile count.
+Originally written to explain bench.py's fused 2.37 ms/sort @1M vs
+1122 ms @16M; the cause turned out to be the padded-input overflow
+fallback (1M was secretly lax.sort — fixed, see kernels/scatter.py).
+Kept as the honest per-stage scaling record: times bucketize, the
+window-write scatter, and the histogram in isolation at 1M / 4M / 16M
+with scan-chained dispatches (results_r5b.json).
 """
 
 import json
